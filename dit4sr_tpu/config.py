@@ -1,0 +1,370 @@
+"""Static configuration system.
+
+The torch reference threads a mutable OmegaConf object through every model
+forward (reference: model_dit4sr/transformer_sd3.py:278, attention.py:281).
+That is jit-hostile; here every config is a frozen dataclass that is fully
+resolved *before* tracing, so model code branches on Python constants and XLA
+sees a single static program.
+
+Variant mapping to the reference:
+  * ``MMDiTConfig.streams=("hq","control")``           == ``dit4sr``
+    (model_dit4sr/transformer_sd3.py + attention.py)
+  * ``("hq","control","ocr")`` + ``ffn_couplings=(("control","hq"),("ocr","hq"))``
+    == ``dit4sr_ocrbranch_ocr2hq``
+  * ... + ``("hq","ocr")`` coupling == ``dit4sr_ocrbranch_ocr2hq2ocr``
+    (attention_ocrbranch_ocr2hq2ocr.py:156-210)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Model configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MMDiTConfig:
+    """SD3.5-style MMDiT with extra zero-init image-token streams.
+
+    Defaults follow SD3.5-medium geometry (reference:
+    model_dit4sr/transformer_sd3.py:63-114 — patch 2, 16 latent channels,
+    24 heads x 64 = 1536 inner dim, dual attention on layers 0-12,
+    sincos pos-embed table of 96x96 patches).
+    """
+
+    sample_size: int = 128          # latent H=W the pos-embed base grid targets
+    patch_size: int = 2
+    in_channels: int = 16
+    out_channels: int = 16
+    num_layers: int = 24
+    attention_head_dim: int = 64
+    num_attention_heads: int = 24
+    joint_attention_dim: int = 4096   # raw text embedding dim (padded CLIP+T5)
+    caption_projection_dim: int = 1536
+    pooled_projection_dim: int = 2048
+    pos_embed_max_size: int = 96
+    dual_attention_layers: Tuple[int, ...] = tuple(range(13))
+    qk_norm: Optional[str] = "rms_norm"
+
+    # --- stream layout -----------------------------------------------------
+    # First stream is always the denoised ("hq") stream and uses the base
+    # q/k/v/out projections. Every further stream gets composed zero-init
+    # projections W_s(W_base(x)) and its own out projection (reference:
+    # attention.py:401-431,475-477).
+    streams: Tuple[str, ...] = ("hq", "control")
+    # Depthwise 3x3 conv couplings inside the FFN hidden space, applied in
+    # order; "hq" as src means the post-coupling hq activations
+    # (attention_ocrbranch_ocr2hq2ocr.py:156-210).
+    ffn_couplings: Tuple[Tuple[str, str], ...] = (("control", "hq"),)
+    # Which stream(s) feed the text-spotting head. One of
+    # "hq" | "control" | "ocr" | "hq+control" (reference feat_extract values
+    # hq_feat/lq_feat/ocr_feat/hqlq_feat, attention.py:353-374).
+    feat_extract: str = "hq+control"
+    feat_extract_layers: Tuple[int, ...] = ()
+    feat_extract_stop_gradient: bool = True
+
+    # Reproduce the reference's norm_k quirk where the control (and only the
+    # control) key is overwritten with a re-normalized hq key
+    # (attention.py:489, attention_ocrbranch_ocr2hq2ocr.py:598). Off by
+    # default; enable only for bit-parity with reference-trained checkpoints.
+    ref_norm_k_quirk: bool = False
+
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    # "xla" = jnp reference attention; "pallas" = fused flash kernel.
+    attn_impl: str = "xla"
+    # remat transformer blocks to trade FLOPs for HBM during training
+    remat: bool = False
+
+    @property
+    def inner_dim(self) -> int:
+        return self.num_attention_heads * self.attention_head_dim
+
+    @property
+    def num_streams(self) -> int:
+        return len(self.streams)
+
+    def with_(self, **kw) -> "MMDiTConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def mmdit_base() -> MMDiTConfig:
+    """The `dit4sr` variant (reference model_dit4sr/transformer_sd3.py)."""
+    return MMDiTConfig()
+
+
+def mmdit_ocr2hq() -> MMDiTConfig:
+    """`dit4sr_ocrbranch_ocr2hq` (transformer_sd3_ocrbranch_ocr2hq.py)."""
+    return MMDiTConfig(
+        streams=("hq", "control", "ocr"),
+        ffn_couplings=(("control", "hq"), ("ocr", "hq")),
+        feat_extract="ocr",
+    )
+
+
+def mmdit_ocr2hq2ocr() -> MMDiTConfig:
+    """`dit4sr_ocrbranch_ocr2hq2ocr` (transformer_sd3_ocrbranch_ocr2hq2ocr.py)."""
+    return MMDiTConfig(
+        streams=("hq", "control", "ocr"),
+        ffn_couplings=(("control", "hq"), ("ocr", "hq"), ("hq", "ocr")),
+        feat_extract="ocr",
+    )
+
+
+def mmdit_tiny(**kw) -> MMDiTConfig:
+    """Tiny geometry for tests: same structure, trivial FLOPs."""
+    base = MMDiTConfig(
+        sample_size=16,
+        num_layers=2,
+        attention_head_dim=8,
+        num_attention_heads=4,
+        joint_attention_dim=24,
+        caption_projection_dim=32,
+        pooled_projection_dim=16,
+        pos_embed_max_size=24,
+        dual_attention_layers=(0,),
+        dtype=jnp.float32,
+    )
+    return base.with_(**kw)
+
+
+@dataclass(frozen=True)
+class VAEConfig:
+    """SD3 AutoencoderKL geometry (reference loads it from
+    stable-diffusion-3.5-medium; initialize.py:311)."""
+
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 16
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    scaling_factor: float = 1.5305
+    shift_factor: float = 0.0609
+    sample_size: int = 512
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    def with_(self, **kw) -> "VAEConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def vae_tiny(**kw) -> VAEConfig:
+    base = VAEConfig(
+        latent_channels=4,
+        block_out_channels=(8, 8, 16, 16),
+        layers_per_block=1,
+        norm_num_groups=4,
+        sample_size=64,
+        dtype=jnp.float32,
+    )
+    return base.with_(**kw)
+
+
+# ---------------------------------------------------------------------------
+# Scheduler / sampler configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SchedulerConfig:
+    """FlowMatchEulerDiscrete (SD3.5-medium: shift=3.0)."""
+
+    num_train_timesteps: int = 1000
+    shift: float = 3.0
+
+
+@dataclass(frozen=True)
+class SamplerConfig:
+    """Inference-time knobs (reference run_configs/val/*.yaml + test/test.py)."""
+
+    num_inference_steps: int = 40
+    guidance_scale: float = 1.0       # CFG active iff > 1 (pipeline_dit4sr.py:730)
+    start_point: str = "noise"        # "noise" | "lr"  (pipeline_dit4sr.py:1024-1034)
+    latent_tiled_size: int = 64
+    latent_tiled_overlap: int = 24
+    align_method: str = "adain"       # "adain" | "wavelet" | "nofix"
+    upscale: int = 4
+    process_size: int = 512
+
+
+# ---------------------------------------------------------------------------
+# TESTR config
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TESTRConfig:
+    """Deformable-DETR text spotter (reference testr/adet/config/defaults.py:340-369)."""
+
+    d_model: int = 256
+    nheads: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+    num_feature_levels: int = 4
+    enc_n_points: int = 4
+    dec_n_points: int = 4
+    num_queries: int = 100
+    num_ctrl_points: int = 16
+    max_text_len: int = 25
+    voc_size: int = 96                # charset size; +1 pad class in CE
+    num_classes: int = 1
+    sigmoid_offset: bool = True       # used with point supervision
+    # fused DiT features: 24 layers x inner_dim tokens grouped into 4 levels
+    num_dit_layers: int = 24
+    dit_dim: int = 1536
+    feat_extract: str = "hq+control"  # matches MMDiTConfig.feat_extract
+    inference_th_test: float = 0.45
+    # loss weights (transformer_detector.py:44-75)
+    point_class_weight: float = 2.0
+    point_coord_weight: float = 5.0
+    point_text_weight: float = 4.0
+    box_class_weight: float = 2.0
+    box_coord_weight: float = 5.0
+    giou_weight: float = 2.0
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    aux_loss: bool = True
+    # static padding bound for per-image text instances (XLA ragged handling)
+    max_instances: int = 32
+    dtype: Any = jnp.float32          # fp32: deformable attn is precision-sensitive
+    param_dtype: Any = jnp.float32
+
+    def with_(self, **kw) -> "TESTRConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def testr_tiny(**kw) -> TESTRConfig:
+    base = TESTRConfig(
+        d_model=32,
+        nheads=4,
+        num_encoder_layers=1,
+        num_decoder_layers=1,
+        dim_feedforward=32,
+        num_queries=10,
+        num_ctrl_points=4,
+        max_text_len=5,
+        num_dit_layers=2,
+        dit_dim=32,
+        max_instances=4,
+    )
+    return base.with_(**kw)
+
+
+# ---------------------------------------------------------------------------
+# Training config
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    lr: float = 1e-5
+    testr_lr: float = 1e-5
+    weight_decay: float = 1e-2
+    betas: Tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+    max_grad_norm: float = 1.0
+    lr_scheduler: str = "constant"
+    lr_warmup_steps: int = 0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Three-stage recipe (reference run_configs/train/JIHYE_train_stage*.yaml)."""
+
+    stage: str = "stage3"             # stage1: diff only; stage2: ocr only; stage3: joint
+    batch_size: int = 4
+    gradient_accumulation_steps: int = 16
+    num_train_steps: int = 10_000
+    ocr_loss_weight: float = 0.01
+    # substring match on flattened param paths, like the reference's
+    # finetune_layer_names (initialize.py:460-558). Empty = train everything.
+    finetune_layer_names: Tuple[str, ...] = (
+        "control_conv",
+        "q_control",
+        "k_control",
+        "v_control",
+        "out_control",
+    )
+    # logit-normal timestep sampling (train_dit4sr.py:247-256)
+    weighting_scheme: str = "logit_normal"
+    logit_mean: float = 0.0
+    logit_std: float = 1.0
+    mode_scale: float = 1.29
+    precondition_outputs: bool = True
+    null_text_ratio: float = 0.1
+    seed: int = 42
+    checkpointing_steps: int = 500
+    optim: OptimConfig = field(default_factory=OptimConfig)
+
+
+# ---------------------------------------------------------------------------
+# Parallelism config
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Logical mesh axes. The reference only has DDP (SURVEY.md §2.3); here a
+    single mesh gives data, fsdp (param/optimizer sharding), and tensor axes."""
+
+    data: int = 1
+    fsdp: int = 1
+    tensor: int = 1
+
+    @property
+    def axis_names(self) -> Tuple[str, ...]:
+        return ("data", "fsdp", "tensor")
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return (self.data, self.fsdp, self.tensor)
+
+
+# ---------------------------------------------------------------------------
+# YAML loading (reference uses OmegaConf; we map YAML into the dataclasses)
+# ---------------------------------------------------------------------------
+
+
+def _build(cls, data: Mapping[str, Any]):
+    kw = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        if dataclasses.is_dataclass(f.type) and isinstance(v, Mapping):
+            v = _build(f.type, v)
+        elif isinstance(v, list):
+            v = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+        kw[f.name] = v
+    return cls(**kw)
+
+
+def load_yaml_config(path: str) -> dict:
+    """Load a YAML experiment file into {section: dataclass} configs."""
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    sections = {
+        "model": MMDiTConfig,
+        "vae": VAEConfig,
+        "scheduler": SchedulerConfig,
+        "sampler": SamplerConfig,
+        "testr": TESTRConfig,
+        "train": TrainConfig,
+        "mesh": MeshConfig,
+    }
+    out = {}
+    for key, cls in sections.items():
+        if key in raw and isinstance(raw[key], Mapping):
+            out[key] = _build(cls, raw[key])
+    return out

@@ -1,0 +1,444 @@
+"""Multi-stream MMDiT (SD3.5-medium geometry) with zero-init control branches.
+
+One model covers all three reference variants (dit4sr /
+dit4sr_ocrbranch_ocr2hq / dit4sr_ocrbranch_ocr2hq2ocr — reference
+model_dit4sr/transformer_sd3*.py + attention*.py) through
+``MMDiTConfig.streams`` and ``MMDiTConfig.ffn_couplings``:
+
+  * every image-token stream is patch-embedded with the *same* PatchEmbed
+    (transformer_sd3.py:326-331) and concatenated on the token axis;
+  * each extra stream adds composed zero-init attention projections
+    ``W_s(W_base(x_s))`` plus its own out projection initialized from the base
+    out projection (attention.py:401-431,475-477);
+  * inside every FFN the streams exchange information through zero-init
+    depthwise 3x3 convs per ``ffn_couplings`` (attention.py:150,165-177;
+    attention_ocrbranch_ocr2hq2ocr.py:156-210);
+  * after the blocks only the hq stream is decoded
+    (transformer_sd3.py:379-391).
+
+All image I/O is NHWC. Attention runs over the fused
+[streams | text] axis via ops.attention (XLA or Pallas backend).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dit4sr_tpu.config import MMDiTConfig
+from dit4sr_tpu.models.embeddings import PatchEmbed, TimeTextEmbed, unpatchify
+from dit4sr_tpu.models.norms import (
+    AdaLayerNormContinuous,
+    AdaLayerNormZero,
+    AdaLayerNormZeroX,
+    RMSNorm,
+    layer_norm,
+)
+from dit4sr_tpu.ops.attention import attention, merge_heads, split_heads
+
+_zeros = nn.initializers.zeros_init()
+
+
+class JointAttention(nn.Module):
+    """Fused joint attention over [stream_0 .. stream_{S-1} | text].
+
+    Stream 0 ("hq") uses the base projections; streams 1.. use composed
+    zero-init projections. Extra streams receive a pre-out-projection
+    residual of their normed input (attention.py:543-545).
+    """
+
+    cfg: MMDiTConfig
+    context_pre_only: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        stream_x: jnp.ndarray,            # (B, S*N, D) concat image streams
+        text_x: Optional[jnp.ndarray],    # (B, T, D) or None (dual attn)
+        text_mask: Optional[jnp.ndarray] = None,  # (B, T) bool
+    ):
+        cfg = self.cfg
+        S = cfg.num_streams
+        H, Dh = cfg.num_attention_heads, cfg.attention_head_dim
+        D = cfg.inner_dim
+        dense = lambda name, init=None: nn.Dense(  # noqa: E731
+            D,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            name=name,
+            **({"kernel_init": init, "bias_init": _zeros} if init is not None else {}),
+        )
+
+        to_q, to_k, to_v = dense("to_q"), dense("to_k"), dense("to_v")
+        to_out = dense("to_out")
+        if cfg.qk_norm == "rms_norm":
+            norm_q = RMSNorm(Dh, param_dtype=cfg.param_dtype, name="norm_q")
+            norm_k = RMSNorm(Dh, param_dtype=cfg.param_dtype, name="norm_k")
+        else:
+            norm_q = norm_k = lambda x: x  # noqa: E731
+
+        xs = jnp.split(stream_x, S, axis=1)
+        n_img = xs[0].shape[1]
+
+        qs, ks, vs = [], [], []
+        for i, name in enumerate(cfg.streams):
+            q, k, v = to_q(xs[i]), to_k(xs[i]), to_v(xs[i])
+            if i > 0:
+                # composed zero-init control projections (attention.py:475-477)
+                q = dense(f"to_q_{name}", _zeros)(q)
+                k_raw = dense(f"to_k_{name}", _zeros)(k)
+                v = dense(f"to_v_{name}", _zeros)(v)
+                k = k_raw
+            q, k, v = (split_heads(t, H) for t in (q, k, v))
+            q = norm_q(q)
+            if i == 1 and cfg.ref_norm_k_quirk:
+                # reference overwrites the control key with the re-normalized
+                # hq key (attention.py:489); keep behind a parity flag
+                k = norm_k(ks[0])
+            else:
+                k = norm_k(k)
+            qs.append(q)
+            ks.append(k)
+            vs.append(v)
+
+        key_mask = None
+        if text_x is not None:
+            tq = dense("add_q_proj")(text_x)
+            tk = dense("add_k_proj")(text_x)
+            tv = dense("add_v_proj")(text_x)
+            tq, tk, tv = (split_heads(t, H) for t in (tq, tk, tv))
+            if cfg.qk_norm == "rms_norm":
+                tq = RMSNorm(Dh, param_dtype=cfg.param_dtype, name="norm_added_q")(tq)
+                tk = RMSNorm(Dh, param_dtype=cfg.param_dtype, name="norm_added_k")(tk)
+            qs.append(tq)
+            ks.append(tk)
+            vs.append(tv)
+            if text_mask is not None:
+                img_true = jnp.ones(
+                    (stream_x.shape[0], S * n_img), dtype=jnp.bool_
+                )
+                key_mask = jnp.concatenate([img_true, text_mask], axis=1)
+
+        q = jnp.concatenate(qs, axis=2)
+        k = jnp.concatenate(ks, axis=2)
+        v = jnp.concatenate(vs, axis=2)
+
+        out = merge_heads(attention(q, k, v, key_mask=key_mask, impl=cfg.attn_impl))
+
+        img_out, text_out = out[:, : S * n_img], out[:, S * n_img :]
+        outs = jnp.split(img_out, S, axis=1)
+
+        final = [to_out(outs[0])]
+        for i, name in enumerate(cfg.streams[1:], start=1):
+            # residual of the normed input before the control out projection
+            # (attention.py:543-552); to_out_<s> starts as a copy of to_out
+            # (done by init surgery / weight conversion, attention.py:429-431)
+            final.append(dense(f"to_out_{name}")(outs[i] + xs[i]))
+
+        img = jnp.concatenate(final, axis=1)
+        if text_x is None:
+            return img, None
+        if self.context_pre_only:
+            return img, None
+        return img, dense("to_add_out")(text_out)
+
+
+_COUPLING_NAMES = {
+    ("control", "hq"): "control_conv",
+    ("ocr", "hq"): "ocr_to_hidden_conv",
+    ("hq", "ocr"): "hidden_to_ocr_conv",
+}
+
+
+class DepthwiseConv(nn.Module):
+    """Zero-init depthwise 3x3 conv over the (h, w)-shaped token grid."""
+
+    channels: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, h, w, C)
+        kernel = self.param(
+            "kernel", _zeros, (3, 3, 1, self.channels), self.param_dtype
+        )
+        bias = self.param("bias", _zeros, (self.channels,), self.param_dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.channels,
+        )
+        return y + bias.astype(self.dtype)
+
+
+class StreamFFN(nn.Module):
+    """FeedForwardControl: gelu-in -> stream coupling convs -> linear-out.
+
+    The couplings run in declaration order on the *current* values, which
+    reproduces all three reference variants (attention.py:165-177,
+    attention_ocrbranch_ocr2hq2ocr.py:175-208)."""
+
+    cfg: MMDiTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, S*N, D)
+        cfg = self.cfg
+        D = cfg.inner_dim
+        hidden_dim = 4 * D
+        h = nn.Dense(
+            hidden_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="proj_in"
+        )(x)
+        h = nn.gelu(h, approximate=True)
+
+        if cfg.ffn_couplings:
+            S = cfg.num_streams
+            cur = dict(zip(cfg.streams, jnp.split(h, S, axis=1)))
+            n = cur["hq"].shape[1]
+            side = int(round(n ** 0.5))
+            assert side * side == n, "stream token count must be a square grid"
+            for src, dst in cfg.ffn_couplings:
+                name = _COUPLING_NAMES.get((src, dst), f"{src}_to_{dst}_conv")
+                grid = cur[src].reshape(-1, side, side, hidden_dim)
+                cond = DepthwiseConv(
+                    hidden_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name
+                )(grid).reshape(-1, n, hidden_dim)
+                cur[dst] = cur[dst] + cond
+            # non-hq streams pass through their *pre-in-coupling* values except
+            # when they are coupling destinations (ocr in ocr2hq2ocr)
+            h = jnp.concatenate([cur[s] for s in cfg.streams], axis=1)
+
+        return nn.Dense(
+            D, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="proj_out"
+        )(h)
+
+
+class TextFFN(nn.Module):
+    """Plain gelu-tanh MLP for the text stream."""
+
+    dim: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(
+            4 * self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="proj_in",
+        )(x)
+        h = nn.gelu(h, approximate=True)
+        return nn.Dense(
+            self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out"
+        )(h)
+
+
+class JointBlock(nn.Module):
+    """One MMDiT block: AdaLN(-ZeroX) + joint attention (+ dual image-only
+    attention) + stream-coupled FFN (reference attention.py:187-398)."""
+
+    cfg: MMDiTConfig
+    use_dual_attention: bool = False
+    context_pre_only: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        stream_x: jnp.ndarray,
+        text_x: jnp.ndarray,
+        temb: jnp.ndarray,
+        text_mask: Optional[jnp.ndarray] = None,
+    ):
+        cfg = self.cfg
+        D = cfg.inner_dim
+
+        if self.use_dual_attention:
+            normed, gate_msa, shift_mlp, scale_mlp, gate_mlp, normed2, gate_msa2 = (
+                AdaLayerNormZeroX(
+                    D, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="norm1"
+                )(stream_x, temb)
+            )
+        else:
+            normed, gate_msa, shift_mlp, scale_mlp, gate_mlp = AdaLayerNormZero(
+                D, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="norm1"
+            )(stream_x, temb)
+
+        if self.context_pre_only:
+            normed_text = AdaLayerNormContinuous(
+                D, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="norm1_context"
+            )(text_x, temb)
+            c_gate_msa = c_shift_mlp = c_scale_mlp = c_gate_mlp = None
+        else:
+            normed_text, c_gate_msa, c_shift_mlp, c_scale_mlp, c_gate_mlp = (
+                AdaLayerNormZero(
+                    D, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                    name="norm1_context",
+                )(text_x, temb)
+            )
+
+        attn_out, text_attn_out = JointAttention(
+            cfg, context_pre_only=self.context_pre_only, name="attn"
+        )(normed, normed_text, text_mask)
+
+        stream_x = stream_x + gate_msa[:, None, :] * attn_out
+
+        if self.use_dual_attention:
+            attn2_out, _ = JointAttention(cfg, name="attn2")(normed2, None)
+            stream_x = stream_x + gate_msa2[:, None, :] * attn2_out
+
+        ff_in = layer_norm(stream_x) * (1 + scale_mlp[:, None, :]) + shift_mlp[:, None, :]
+        ff_out = StreamFFN(cfg, name="ff")(ff_in)
+        stream_x = stream_x + gate_mlp[:, None, :] * ff_out
+
+        if self.context_pre_only:
+            new_text = text_x
+        else:
+            text_x = text_x + c_gate_msa[:, None, :] * text_attn_out
+            tf_in = (
+                layer_norm(text_x) * (1 + c_scale_mlp[:, None, :])
+                + c_shift_mlp[:, None, :]
+            )
+            tf_out = TextFFN(
+                D, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="ff_context"
+            )(tf_in)
+            new_text = text_x + c_gate_mlp[:, None, :] * tf_out
+
+        return stream_x, new_text
+
+
+def _extract_slice(cfg: MMDiTConfig, stream_x: jnp.ndarray) -> jnp.ndarray:
+    """Per-layer feature slice for the text-spotting head
+    (attention.py:353-374)."""
+    n = stream_x.shape[1] // cfg.num_streams
+    idx = {"hq": 0, "control": 1, "ocr": 2}
+    if cfg.feat_extract == "hq+control":
+        feat = stream_x[:, 0 : 2 * n]
+    else:
+        i = idx[cfg.feat_extract]
+        feat = stream_x[:, i * n : (i + 1) * n]
+    if cfg.feat_extract_stop_gradient:
+        feat = jax.lax.stop_gradient(feat)
+    return feat
+
+
+class MMDiT(nn.Module):
+    """Top-level model. Inputs NHWC latents; returns (velocity-space output,
+    optional per-layer features for TESTR)."""
+
+    cfg: MMDiTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,       # (B, h, w, C) noisy HQ latent, NHWC
+        control_image: jnp.ndarray,       # (B, h, w, C) LQ latent, NHWC
+        text_embeds: jnp.ndarray,         # (B, T, joint_attention_dim)
+        pooled_embeds: jnp.ndarray,       # (B, pooled_projection_dim)
+        timestep: jnp.ndarray,            # (B,) in [0, 1000]
+        text_mask: Optional[jnp.ndarray] = None,  # (B, T) bool
+        extract_features: bool = False,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        cfg = self.cfg
+        B, H, W, _ = hidden_states.shape
+        h, w = H // cfg.patch_size, W // cfg.patch_size
+
+        pos_embed = PatchEmbed(
+            patch_size=cfg.patch_size,
+            in_channels=cfg.in_channels,
+            embed_dim=cfg.inner_dim,
+            pos_embed_max_size=cfg.pos_embed_max_size,
+            base_size=cfg.sample_size // cfg.patch_size,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            name="pos_embed",
+        )
+
+        # every stream is embedded with the same PatchEmbed; streams beyond
+        # "hq" all consume the LQ control latent (transformer_sd3.py:326-338,
+        # transformer_sd3_ocrbranch_ocr2hq.py:334-338)
+        parts = [pos_embed(hidden_states)]
+        for _name in cfg.streams[1:]:
+            parts.append(pos_embed(control_image))
+        stream_x = jnp.concatenate(parts, axis=1)
+
+        temb = TimeTextEmbed(
+            embedding_dim=cfg.inner_dim,
+            pooled_projection_dim=cfg.pooled_projection_dim,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            name="time_text_embed",
+        )(timestep, pooled_embeds)
+
+        text_x = nn.Dense(
+            cfg.caption_projection_dim,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            name="context_embedder",
+        )(text_embeds)
+
+        feats: List[jnp.ndarray] = []
+        block_cls = JointBlock
+        if cfg.remat:
+            block_cls = nn.remat(JointBlock, static_argnums=())
+        for i in range(cfg.num_layers):
+            stream_x, text_x = block_cls(
+                cfg,
+                use_dual_attention=i in cfg.dual_attention_layers,
+                context_pre_only=i == cfg.num_layers - 1,
+                name=f"blocks_{i}",
+            )(stream_x, text_x, temb, text_mask)
+            if extract_features and i in cfg.feat_extract_layers:
+                feats.append(_extract_slice(cfg, stream_x))
+
+        hq = jnp.split(stream_x, cfg.num_streams, axis=1)[0]
+        hq = AdaLayerNormContinuous(
+            cfg.inner_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            name="norm_out",
+        )(hq, temb)
+        hq = nn.Dense(
+            cfg.patch_size * cfg.patch_size * cfg.out_channels,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            name="proj_out",
+        )(hq)
+        out = unpatchify(hq, h, w, cfg.patch_size)
+
+        feat_arr = jnp.stack(feats) if feats else None
+        return out, feat_arr
+
+
+def init_out_proj_surgery(params: Dict, cfg: MMDiTConfig) -> Dict:
+    """Copy each block's base to_out weights into the per-stream out
+    projections, matching the reference's init (attention.py:429-431:
+    to_out_control starts as a copy of to_out)."""
+    import flax
+
+    params = flax.core.unfreeze(params)
+    for i in range(cfg.num_layers):
+        blk = params["params"][f"blocks_{i}"]
+        for attn_name in ("attn", "attn2"):
+            if attn_name not in blk:
+                continue
+            attn = blk[attn_name]
+            for s in cfg.streams[1:]:
+                key = f"to_out_{s}"
+                if key in attn:
+                    attn[key]["kernel"] = attn["to_out"]["kernel"].copy()
+                    attn[key]["bias"] = attn["to_out"]["bias"].copy()
+    return params
+
+
+def init_mmdit(rng, cfg: MMDiTConfig, batch: int = 1, text_len: int = 154):
+    """Initialize MMDiT params with the reference's out-projection surgery."""
+    model = MMDiT(cfg)
+    size = cfg.sample_size if cfg.sample_size <= 64 else 64
+    lat = jnp.zeros((batch, size, size, cfg.in_channels), cfg.dtype)
+    txt = jnp.zeros((batch, text_len, cfg.joint_attention_dim), cfg.dtype)
+    pool = jnp.zeros((batch, cfg.pooled_projection_dim), cfg.dtype)
+    t = jnp.zeros((batch,), jnp.float32)
+    params = model.init(rng, lat, lat, txt, pool, t)
+    return model, init_out_proj_surgery(params, cfg)

@@ -1,0 +1,76 @@
+"""Multi-head attention ops for the joint [streams|text] token axis.
+
+The reference runs one fused torch SDPA over the concatenated
+[hq | control (| ocr) | text] sequence (model_dit4sr/attention.py:508-528).
+Here the same contract is a single attention over (B, H, N, Dh) arrays with an
+optional key mask for padded text tokens, with two interchangeable backends:
+
+  * ``mha_reference`` — jnp einsum + fp32 softmax; the correctness oracle and
+    the XLA path (XLA already fuses this well on TPU for moderate N).
+  * ``flash_attention`` — Pallas kernel (ops/flash_attention.py), used when
+    MMDiTConfig.attn_impl == "pallas".
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def mha_reference(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Plain scaled-dot-product attention.
+
+    Args:
+      q, k, v: (B, H, N, Dh) / (B, H, M, Dh)
+      key_mask: optional (B, M) bool; False keys are excluded.
+
+    Returns (B, H, N, Dh) in q.dtype. Softmax runs in fp32.
+    """
+    dh = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.float32(dh))
+    logits = jnp.einsum(
+        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if key_mask is not None:
+        neg = jnp.finfo(jnp.float32).min
+        logits = jnp.where(key_mask[:, None, None, :], logits, neg)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhnm,bhmd->bhnd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray] = None,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """Dispatch between the XLA reference and the Pallas flash kernel."""
+    if impl == "pallas":
+        from dit4sr_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, key_mask=key_mask)
+    return mha_reference(q, k, v, key_mask=key_mask)
+
+
+def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """(B, N, H*Dh) -> (B, H, N, Dh)."""
+    b, n, d = x.shape
+    return x.reshape(b, n, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, N, Dh) -> (B, N, H*Dh)."""
+    b, h, n, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * dh)
