@@ -1,0 +1,258 @@
+"""Super-resolution sampling pipeline: one jitted `lax.scan` over denoise steps.
+
+TPU-native counterpart of the reference's 1617-line
+StableDiffusion3ControlNetPipeline.__call__ (pipelines/pipeline_dit4sr.py:765):
+
+  * LQ image -> VAE-encode -> control latent (pipeline_dit4sr.py:1001-1002)
+  * start point "noise" or "lr" (LRE: blend LQ latent with noise at sigma_0,
+    pipeline_dit4sr.py:1024-1034)
+  * denoise loop = `lax.scan` over the flow-match Euler schedule with optional
+    CFG (guidance active iff scale > 1, :730-732); the whole loop is one XLA
+    program — no per-step host round trips
+  * VAE decode + AdaIN/wavelet color fix (test/test.py:379-383)
+
+Per-step OCR prompt feedback (TSM) re-encodes text on host every step and
+therefore runs as a host loop around a jitted single step; see
+`sample_with_prompt_feedback` — same compiled step function, zero
+recompilation across steps because embedding shapes are static.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dit4sr_tpu.config import MMDiTConfig, SamplerConfig, SchedulerConfig, VAEConfig
+from dit4sr_tpu.models.mmdit import MMDiT
+from dit4sr_tpu.models.vae import (
+    AutoencoderKL,
+    sample_latent,
+    scale_latent,
+    unscale_latent,
+)
+from dit4sr_tpu.ops.color_fix import apply_color_fix
+from dit4sr_tpu.schedulers.flow_match import FlowMatchSchedule, make_schedule
+
+
+@dataclass(frozen=True)
+class PipelineModules:
+    mmdit: MMDiT
+    mmdit_params: Any
+    vae: AutoencoderKL
+    vae_params: Any
+
+
+class SRPipeline:
+    """Bundles models + configs; `__call__` runs LQ->SR end to end under jit."""
+
+    def __init__(
+        self,
+        modules: PipelineModules,
+        model_cfg: MMDiTConfig,
+        vae_cfg: VAEConfig,
+        scheduler_cfg: SchedulerConfig = SchedulerConfig(),
+        sampler_cfg: SamplerConfig = SamplerConfig(),
+    ):
+        self.m = modules
+        self.model_cfg = model_cfg
+        self.vae_cfg = vae_cfg
+        self.scheduler_cfg = scheduler_cfg
+        self.sampler_cfg = sampler_cfg
+
+    # -- pieces -------------------------------------------------------------
+
+    def encode_image(self, image: jnp.ndarray, rng: Optional[jax.Array]) -> jnp.ndarray:
+        """[0,1] NHWC image -> scaled latent (train_dit4sr.py:204-214)."""
+        x = image.astype(self.vae_cfg.dtype) * 2.0 - 1.0
+        mean, logvar = self.m.vae.apply(
+            self.m.vae_params, x, method=AutoencoderKL.encode
+        )
+        z = sample_latent(mean, logvar, rng)
+        return scale_latent(z, self.vae_cfg)
+
+    def decode_latent(self, latents: jnp.ndarray) -> jnp.ndarray:
+        z = unscale_latent(latents.astype(self.vae_cfg.dtype), self.vae_cfg)
+        img = self.m.vae.apply(self.m.vae_params, z, method=AutoencoderKL.decode)
+        return jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+    def velocity(
+        self,
+        latents: jnp.ndarray,
+        control_latent: jnp.ndarray,
+        text_embeds: jnp.ndarray,
+        pooled_embeds: jnp.ndarray,
+        timestep: jnp.ndarray,  # scalar
+        text_mask: Optional[jnp.ndarray],
+        neg_text_embeds: Optional[jnp.ndarray] = None,
+        neg_pooled_embeds: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """One transformer evaluation (+CFG combine when enabled)."""
+        b = latents.shape[0]
+        use_cfg = self.sampler_cfg.guidance_scale > 1.0
+        if use_cfg:
+            latents_in = jnp.concatenate([latents, latents])
+            control_in = jnp.concatenate([control_latent, control_latent])
+            text_in = jnp.concatenate([neg_text_embeds, text_embeds])
+            pooled_in = jnp.concatenate([neg_pooled_embeds, pooled_embeds])
+            mask_in = (
+                jnp.concatenate([text_mask, text_mask]) if text_mask is not None else None
+            )
+        else:
+            latents_in, control_in = latents, control_latent
+            text_in, pooled_in, mask_in = text_embeds, pooled_embeds, text_mask
+        t = jnp.broadcast_to(timestep, (latents_in.shape[0],))
+        out, _ = self.m.mmdit.apply(
+            self.m.mmdit_params,
+            latents_in.astype(self.model_cfg.dtype),
+            control_in.astype(self.model_cfg.dtype),
+            text_in.astype(self.model_cfg.dtype),
+            pooled_in.astype(self.model_cfg.dtype),
+            t,
+            text_mask=mask_in,
+        )
+        if use_cfg:
+            uncond, cond = out[:b], out[b:]
+            out = uncond + self.sampler_cfg.guidance_scale * (cond - uncond)
+        return out
+
+    # -- full sampler (pure scan) --------------------------------------------
+
+    def sample_latents(
+        self,
+        rng: jax.Array,
+        control_latent: jnp.ndarray,
+        text_embeds: jnp.ndarray,
+        pooled_embeds: jnp.ndarray,
+        text_mask: Optional[jnp.ndarray] = None,
+        neg_text_embeds: Optional[jnp.ndarray] = None,
+        neg_pooled_embeds: Optional[jnp.ndarray] = None,
+        num_steps: Optional[int] = None,
+    ) -> jnp.ndarray:
+        sched = make_schedule(
+            self.scheduler_cfg, num_steps or self.sampler_cfg.num_inference_steps
+        )
+        noise = jax.random.normal(rng, control_latent.shape, jnp.float32)
+        if self.sampler_cfg.start_point == "lr":
+            s0 = sched.sigmas[0]
+            latents = (1.0 - s0) * control_latent.astype(jnp.float32) + s0 * noise
+        else:
+            latents = noise
+
+        def body(latents, i):
+            v = self.velocity(
+                latents,
+                control_latent,
+                text_embeds,
+                pooled_embeds,
+                sched.timesteps[i],
+                text_mask,
+                neg_text_embeds,
+                neg_pooled_embeds,
+            )
+            return sched.step(i, latents, v), None
+
+        latents, _ = jax.lax.scan(body, latents, jnp.arange(sched.num_steps))
+        return latents
+
+    def __call__(
+        self,
+        rng: jax.Array,
+        lq_image: jnp.ndarray,  # (B, H, W, 3) in [0,1], already at process size
+        text_embeds: jnp.ndarray,
+        pooled_embeds: jnp.ndarray,
+        text_mask: Optional[jnp.ndarray] = None,
+        neg_text_embeds: Optional[jnp.ndarray] = None,
+        neg_pooled_embeds: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        rng_enc, rng_noise = jax.random.split(rng)
+        control_latent = self.encode_image(lq_image, rng_enc)
+        latents = self.sample_latents(
+            rng_noise,
+            control_latent,
+            text_embeds,
+            pooled_embeds,
+            text_mask,
+            neg_text_embeds,
+            neg_pooled_embeds,
+        )
+        image = self.decode_latent(latents)
+        return apply_color_fix(image, lq_image, self.sampler_cfg.align_method)
+
+    def jit(self) -> Callable:
+        """Return the end-to-end jitted callable."""
+        return jax.jit(self.__call__)
+
+    # -- host-orchestrated sampler with per-step prompt feedback -------------
+
+    def make_step_fn(self) -> Callable:
+        """One jitted denoise step for host-loop sampling (TSM/VLM feedback,
+        pipeline_dit4sr.py:1214-1446). Text embeddings change value but not
+        shape across steps, so this compiles exactly once."""
+
+        @functools.partial(jax.jit, static_argnums=(0,))
+        def step(
+            num_steps: int,
+            i: jnp.ndarray,
+            latents: jnp.ndarray,
+            control_latent: jnp.ndarray,
+            text_embeds: jnp.ndarray,
+            pooled_embeds: jnp.ndarray,
+            text_mask: Optional[jnp.ndarray],
+        ):
+            sched = make_schedule(self.scheduler_cfg, num_steps)
+            v = self.velocity(
+                latents, control_latent, text_embeds, pooled_embeds,
+                sched.timesteps[i], text_mask,
+            )
+            return sched.step(i, latents, v)
+
+        return step
+
+    def sample_with_prompt_feedback(
+        self,
+        rng: jax.Array,
+        lq_image: jnp.ndarray,
+        encode_prompt_fn: Callable[[int, Any], Tuple[jnp.ndarray, jnp.ndarray]],
+        ocr_fn: Optional[Callable] = None,
+        num_steps: Optional[int] = None,
+    ) -> jnp.ndarray:
+        """Host loop: after each step, `ocr_fn(latents, step)` may read text
+        from intermediate features and `encode_prompt_fn(step, ocr_result)`
+        returns fresh (text_embeds, pooled_embeds) for the next step."""
+        n = num_steps or self.sampler_cfg.num_inference_steps
+        rng_enc, rng_noise = jax.random.split(rng)
+        control_latent = self.encode_image(lq_image, rng_enc)
+        noise = jax.random.normal(rng_noise, control_latent.shape, jnp.float32)
+        sched = make_schedule(self.scheduler_cfg, n)
+        if self.sampler_cfg.start_point == "lr":
+            s0 = sched.sigmas[0]
+            latents = (1.0 - s0) * control_latent.astype(jnp.float32) + s0 * noise
+        else:
+            latents = noise
+
+        step_fn = self.make_step_fn()
+        text_embeds, pooled_embeds = encode_prompt_fn(0, None)
+        for i in range(n):
+            latents = step_fn(
+                n, jnp.asarray(i), latents, control_latent,
+                text_embeds, pooled_embeds, None,
+            )
+            if ocr_fn is not None and i < n - 1:
+                ocr_result = ocr_fn(latents, i)
+                text_embeds, pooled_embeds = encode_prompt_fn(i + 1, ocr_result)
+
+        image = self.decode_latent(latents)
+        return apply_color_fix(image, lq_image, self.sampler_cfg.align_method)
+
+
+def bicubic_upscale(image: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """x4 LQ pre-upscale (test/test.py:309-318), NHWC."""
+    b, h, w, c = image.shape
+    out = jax.image.resize(
+        image.astype(jnp.float32), (b, h * factor, w * factor, c), "cubic"
+    )
+    return jnp.clip(out, 0.0, 1.0)

@@ -1,0 +1,131 @@
+"""Jitted flow-matching train step (stage1/stage3 recipes).
+
+One pure function covers the reference's training inner loop
+(train/train_dit4sr.py:184-490): logit-normal sigma sampling, rectified-flow
+interpolation z_t=(1-s)x+s*z, MMDiT forward, x-prediction preconditioning
+(model_pred*(-s)+z_t), weighted MSE, optional OCR loss hook, optax update.
+
+Data parallelism: the step is jitted with batch args sharded over the mesh's
+("data","fsdp") axes and params replicated (or fsdp-sharded); XLA inserts the
+gradient all-reduce over ICI — this replaces the reference's DDP+NCCL
+(SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dit4sr_tpu.config import MMDiTConfig, SchedulerConfig, TrainConfig
+from dit4sr_tpu.models.mmdit import MMDiT
+from dit4sr_tpu.schedulers.flow_match import sample_logit_normal_sigmas
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class Batch(NamedTuple):
+    """Latent-space batch (VAE encode happens outside, without grad)."""
+
+    hq_latent: jnp.ndarray       # (B, h, w, C) scaled model input
+    lq_latent: jnp.ndarray       # (B, h, w, C) scaled control latent
+    text_embeds: jnp.ndarray     # (B, T, 4096)
+    pooled_embeds: jnp.ndarray   # (B, 2048)
+
+
+def flow_matching_loss(
+    mmdit: MMDiT,
+    params,
+    batch: Batch,
+    rng: jax.Array,
+    train_cfg: TrainConfig,
+    sched_cfg: SchedulerConfig,
+    extract_features: bool = False,
+):
+    """Returns (diff_loss, (sigmas, features)) — features feed the OCR head."""
+    rng_t, rng_noise = jax.random.split(rng)
+    b = batch.hq_latent.shape[0]
+    sigmas, timesteps = sample_logit_normal_sigmas(
+        rng_t, b, sched_cfg, train_cfg.logit_mean, train_cfg.logit_std
+    )
+    x = batch.hq_latent.astype(jnp.float32)
+    noise = jax.random.normal(rng_noise, x.shape, jnp.float32)
+    s = sigmas[:, None, None, None]
+    zt = (1.0 - s) * x + s * noise  # train_dit4sr.py:260-261
+
+    pred, feats = mmdit.apply(
+        params,
+        zt,
+        batch.lq_latent,
+        batch.text_embeds,
+        batch.pooled_embeds,
+        timesteps,
+        extract_features=extract_features,
+    )
+    pred = pred.astype(jnp.float32)
+
+    if train_cfg.precondition_outputs:
+        pred = pred * (-s) + zt          # x-prediction (train_dit4sr.py:318-329)
+        target = x
+    else:
+        target = noise - x
+
+    # logit_normal scheme post-weights with 1 (diffusers
+    # compute_loss_weighting_for_sd3 default branch)
+    per_sample = jnp.mean((pred - target) ** 2, axis=(1, 2, 3))
+    return jnp.mean(per_sample), (sigmas, feats)
+
+
+def make_train_step(
+    mmdit: MMDiT,
+    tx: optax.GradientTransformation,
+    train_cfg: TrainConfig,
+    sched_cfg: SchedulerConfig = SchedulerConfig(),
+    ocr_loss_fn: Optional[Callable] = None,
+) -> Callable:
+    """Build the jittable (state, batch, rng[, ocr_targets]) -> (state, metrics)
+    step. With `ocr_loss_fn` set, the per-stage loss mix follows
+    train_dit4sr.py:373-381 (stage1 diff, stage2 ocr, stage3 joint)."""
+
+    need_feats = ocr_loss_fn is not None and train_cfg.stage in ("stage2", "stage3")
+
+    def loss_fn(params, batch: Batch, rng, ocr_targets):
+        mmdit_params = params["mmdit"] if "mmdit" in params else params
+        diff_loss, (sigmas, feats) = flow_matching_loss(
+            mmdit, mmdit_params, batch, rng, train_cfg, sched_cfg,
+            extract_features=need_feats,
+        )
+        metrics = {"diff_loss": diff_loss}
+        if need_feats:
+            ocr_loss, ocr_metrics = ocr_loss_fn(params["testr"], feats, ocr_targets)
+            metrics["ocr_loss"] = ocr_loss
+            metrics.update(ocr_metrics)
+        else:
+            ocr_loss = 0.0
+
+        if train_cfg.stage == "stage1":
+            total = diff_loss
+        elif train_cfg.stage == "stage2":
+            total = train_cfg.ocr_loss_weight * ocr_loss
+        else:
+            total = diff_loss + train_cfg.ocr_loss_weight * ocr_loss
+        metrics["total_loss"] = total
+        return total, metrics
+
+    def train_step(state: TrainState, batch: Batch, rng: jax.Array, ocr_targets=None):
+        rng = jax.random.fold_in(rng, state.step)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng, ocr_targets
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
