@@ -1,0 +1,134 @@
+"""Hungarian matching with static-shape padding.
+
+TPU version of the reference's scipy-based matchers
+(testr/adet/modeling/testr/matcher.py): cost matrices are computed on device
+in one jitted program over padded targets; the sequential linear-sum
+assignment runs on host through `jax.pure_callback` (SURVEY.md §7 "Hungarian
+matching is sequential/host-bound; keep on CPU with jax.pure_callback").
+
+A native C++ Jonker-Volgenant solver (dit4sr_tpu/native) is used when built;
+scipy is the fallback oracle.
+
+Static-shape contract: targets are padded to `max_instances` with a `valid`
+mask; the matcher returns, per target slot, the matched query index (or -1).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class OCRTargets(NamedTuple):
+    """Padded per-image supervision (reference builds ragged Python lists,
+    train_dit4sr.py:341-353; XLA needs static shapes)."""
+
+    labels: jnp.ndarray       # (B, I) int32, class id (0 = text)
+    boxes: jnp.ndarray        # (B, I, 4) cxcywh in [0,1]
+    ctrl_points: jnp.ndarray  # (B, I, Np, 2) in [0,1]
+    texts: jnp.ndarray        # (B, I, Nw) int32 char ids, pad = voc_size
+    valid: jnp.ndarray        # (B, I) bool
+
+
+def _lsa_host(cost: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Batch linear-sum assignment on host. cost (B, Q, I); valid (B, I).
+    Returns (B, I) int32: matched query per valid target slot, -1 elsewhere."""
+    from dit4sr_tpu.native import linear_sum_assignment as lsa
+
+    B, Q, I = cost.shape
+    out = np.full((B, I), -1, np.int32)
+    for b in range(B):
+        n = int(valid[b].sum())
+        if n == 0:
+            continue
+        c = cost[b][:, :n]
+        c = np.nan_to_num(c, nan=1e9, posinf=1e9, neginf=-1e9)
+        rows, cols = lsa(c)
+        for r, cc in zip(rows, cols):
+            out[b, cc] = r
+    return out
+
+
+def solve_assignment(cost: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Device -> host -> device LSA. cost (B, Q, I) fp32, valid (B, I)."""
+    B, _, I = cost.shape
+    return jax.pure_callback(
+        _lsa_host,
+        jax.ShapeDtypeStruct((B, I), jnp.int32),
+        cost,
+        valid,
+        vmap_method="sequential",
+    )
+
+
+def _focal_cost(prob: jnp.ndarray, alpha: float, gamma: float):
+    """pos/neg focal matching costs (matcher.py:61-66)."""
+    neg = (1 - alpha) * (prob ** gamma) * (-jnp.log(1 - prob + 1e-8))
+    pos = alpha * ((1 - prob) ** gamma) * (-jnp.log(prob + 1e-8))
+    return pos, neg
+
+
+def ctrl_point_cost(
+    pred_logits: jnp.ndarray,   # (B, K, Np, 1)
+    pred_points: jnp.ndarray,   # (B, K, Np, 2)
+    targets: OCRTargets,
+    class_weight: float,
+    coord_weight: float,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+) -> jnp.ndarray:               # (B, K, I)
+    prob = jax.nn.sigmoid(pred_logits)
+    pos, neg = _focal_cost(prob, alpha, gamma)
+    cost_class = (pos - neg)[..., 0].mean(-1)                   # (B, K)
+    pp = pred_points.reshape(*pred_points.shape[:2], -1)        # (B, K, Np*2)
+    tp = targets.ctrl_points.reshape(*targets.ctrl_points.shape[:2], -1)
+    cost_kpts = jnp.sum(jnp.abs(pp[:, :, None] - tp[:, None]), -1)  # (B, K, I)
+    return class_weight * cost_class[..., None] + coord_weight * cost_kpts
+
+
+def box_cxcywh_to_xyxy(b: jnp.ndarray) -> jnp.ndarray:
+    cx, cy, w, h = jnp.split(b, 4, axis=-1)
+    return jnp.concatenate([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+
+
+def generalized_box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise GIoU between (..., N, 4) and (..., M, 4) xyxy boxes."""
+    area_a = (a[..., 2] - a[..., 0]) * (a[..., 3] - a[..., 1])
+    area_b = (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
+    lt = jnp.maximum(a[..., :, None, :2], b[..., None, :, :2])
+    rb = jnp.minimum(a[..., :, None, 2:], b[..., None, :, 2:])
+    wh = jnp.clip(rb - lt, 0.0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area_a[..., :, None] + area_b[..., None, :] - inter
+    iou = inter / jnp.clip(union, 1e-7, None)
+    lt_e = jnp.minimum(a[..., :, None, :2], b[..., None, :, :2])
+    rb_e = jnp.maximum(a[..., :, None, 2:], b[..., None, :, 2:])
+    wh_e = jnp.clip(rb_e - lt_e, 0.0, None)
+    area_e = wh_e[..., 0] * wh_e[..., 1]
+    return iou - (area_e - union) / jnp.clip(area_e, 1e-7, None)
+
+
+def box_cost(
+    pred_logits: jnp.ndarray,   # (B, S, 1)
+    pred_boxes: jnp.ndarray,    # (B, S, 4) cxcywh
+    targets: OCRTargets,
+    class_weight: float,
+    coord_weight: float,
+    giou_weight: float,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+) -> jnp.ndarray:               # (B, S, I)
+    prob = jax.nn.sigmoid(pred_logits)
+    pos, neg = _focal_cost(prob, alpha, gamma)
+    # single foreground class: tgt label is always class 0
+    cost_class = (pos - neg)[..., 0][..., None]                 # (B, S, 1)
+    cost_bbox = jnp.sum(
+        jnp.abs(pred_boxes[:, :, None] - targets.boxes[:, None]), -1
+    )
+    cost_giou = -generalized_box_iou(
+        box_cxcywh_to_xyxy(pred_boxes), box_cxcywh_to_xyxy(targets.boxes)
+    )
+    return coord_weight * cost_bbox + class_weight * cost_class + giou_weight * cost_giou

@@ -1,0 +1,148 @@
+"""TESTR structural/behavioral tests (tiny geometry)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dit4sr_tpu.config import testr_tiny as make_testr_tiny
+from dit4sr_tpu.models.testr.detector import TextSpotter, pad_targets
+from dit4sr_tpu.models.testr.matcher import (
+    OCRTargets,
+    box_cxcywh_to_xyxy,
+    generalized_box_iou,
+    solve_assignment,
+)
+from dit4sr_tpu.models.testr.model import TESTR, fuse_dit_features
+
+HW = 8
+
+
+def _feats(cfg, b=2, seed=0):
+    rng = np.random.default_rng(seed)
+    # Lext = num_dit_layers (2 in tiny), channels = dit_dim
+    return jnp.asarray(
+        rng.normal(size=(cfg.num_feature_levels, b, HW, HW, cfg.dit_dim)),
+        jnp.float32,
+    )
+
+
+def _cfg():
+    return make_testr_tiny(num_feature_levels=4, num_dit_layers=4)
+
+
+def test_forward_shapes():
+    cfg = _cfg()
+    spotter = TextSpotter(cfg, feat_hw=(HW, HW))
+    feats = _feats(cfg)
+    params = spotter.init(jax.random.PRNGKey(0), feats)
+    out = spotter.model.apply(params, feats)
+    L, B, K = cfg.num_decoder_layers, 2, cfg.num_queries
+    assert out.ctrl_logits.shape == (L, B, K, cfg.num_ctrl_points, 1)
+    assert out.ctrl_points.shape == (L, B, K, cfg.num_ctrl_points, 2)
+    assert out.text_logits.shape == (L, B, K, cfg.max_text_len, cfg.voc_size + 1)
+    S = cfg.num_feature_levels * HW * HW
+    assert out.enc_logits.shape == (B, S, 1)
+    assert out.enc_boxes.shape == (B, S, 4)
+    # coordinates in [0,1]
+    assert float(out.ctrl_points.min()) >= 0.0
+    assert float(out.ctrl_points.max()) <= 1.0
+
+
+def _targets(cfg, b=2):
+    rng = np.random.default_rng(1)
+    raw = []
+    for i in range(b):
+        n = 2 + i
+        raw.append(
+            {
+                "labels": np.zeros((n,), np.int32),
+                "boxes": np.clip(rng.uniform(0.2, 0.8, (n, 4)), 0.05, 0.95).astype(np.float32),
+                "ctrl_points": rng.uniform(0.1, 0.9, (n, cfg.num_ctrl_points, 2)).astype(np.float32),
+                "texts": rng.integers(0, cfg.voc_size, (n, cfg.max_text_len)).astype(np.int32),
+            }
+        )
+    return pad_targets(raw, cfg)
+
+
+def test_loss_and_gradients():
+    cfg = _cfg()
+    spotter = TextSpotter(cfg, feat_hw=(HW, HW))
+    feats = _feats(cfg)
+    params = spotter.init(jax.random.PRNGKey(0), feats)
+    targets = _targets(cfg)
+
+    def loss_fn(p):
+        total, _ = spotter.loss(p, feats, targets)
+        return total
+
+    total, losses = spotter.loss(params, feats, targets)
+    assert np.isfinite(float(total))
+    # all expected loss keys present (dec x layers + enc)
+    for key in ("loss_ce", "loss_ctrl_points", "loss_texts",
+                "loss_ce_enc", "loss_bbox_enc", "loss_giou_enc"):
+        assert key in losses
+    for l in range(cfg.num_decoder_layers - 1):
+        assert f"loss_ce_{l}" in losses
+
+    grads = jax.grad(loss_fn)(params)
+    gmax = max(float(jnp.abs(g).max()) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gmax) and gmax > 0
+
+
+def test_inference_shapes():
+    cfg = _cfg()
+    spotter = TextSpotter(cfg, feat_hw=(HW, HW))
+    feats = _feats(cfg)
+    params = spotter.init(jax.random.PRNGKey(0), feats)
+    preds = spotter.predict(params, feats, image_size=(64, 64))
+    B, K = 2, cfg.num_queries
+    assert preds.scores.shape == (B, K)
+    assert preds.polygons.shape == (B, K, cfg.num_ctrl_points, 2)
+    assert preds.recs.shape == (B, K, cfg.max_text_len)
+    assert float(preds.polygons.max()) <= 64.0
+
+
+def test_solve_assignment_optimality():
+    """The padded device->host matcher must give the optimal assignment."""
+    rng = np.random.default_rng(0)
+    B, Q, I = 2, 6, 4
+    cost = rng.normal(size=(B, Q, I)).astype(np.float32)
+    valid = np.ones((B, I), bool)
+    valid[1, 2:] = False
+    match = np.asarray(solve_assignment(jnp.asarray(cost), jnp.asarray(valid)))
+
+    from scipy.optimize import linear_sum_assignment
+
+    for b in range(B):
+        n = valid[b].sum()
+        r, c = linear_sum_assignment(cost[b][:, :n])
+        expect = np.full((I,), -1, np.int64)
+        expect[c] = r
+        np.testing.assert_array_equal(match[b], expect)
+
+
+def test_giou_identity():
+    boxes = jnp.asarray([[0.5, 0.5, 0.2, 0.2], [0.3, 0.3, 0.1, 0.4]], jnp.float32)
+    xyxy = box_cxcywh_to_xyxy(boxes)
+    g = generalized_box_iou(xyxy, xyxy)
+    np.testing.assert_allclose(np.asarray(jnp.diagonal(g)), 1.0, atol=1e-6)
+
+
+def test_fuse_dit_features_layout():
+    """fuse matches the reference einops unpatchify contract."""
+    from einops import rearrange
+
+    L, B, n, h, w, p, d = 2, 1, 2, 4, 4, 2, 3
+    feats = jnp.arange(L * B * n * h * w * p * p * d, dtype=jnp.float32).reshape(
+        L, B, n * h * w, p * p * d
+    )
+    out = fuse_dit_features(feats, patch_size=p, num_streams_extracted=n)
+    # reference (NCHW): 'b (N H W) (pH pW d) -> b (N d) (H pH) (W pW)'
+    ref = rearrange(
+        np.asarray(feats),
+        "l b (n H W) (p q d) -> l b (n d) (H p) (W q)",
+        n=n, H=h, W=w, p=p, q=p,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out), np.transpose(ref, (0, 1, 3, 4, 2))
+    )
