@@ -1,0 +1,194 @@
+"""SAMText ("satext") dataset: annotation parsing + training dataset.
+
+Host-side rebuild of the reference's data path:
+  * `load_samtext_annotations` == dataloaders/utils.py:54-170 (per-image
+    text_instances -> normalized cxcywh boxes + 16-point polygons + encoded
+    words, filtered to printable-ASCII words of len < 26);
+  * `SATextDataset` == basicsr/data/pho_realesrgan_dataset.py:33-291 (HQ jpg
+    read with retry, null-prompt dropout, per-item Real-ESRGAN kernel
+    sampling) — degradation itself runs on device (data/degradation.py);
+  * `collate` == collate_fn_real (:294-328) but emits padded static-shape
+    OCRTargets instead of ragged Python lists.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from glob import glob
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from dit4sr_tpu.config import TESTRConfig
+from dit4sr_tpu.data import charset
+from dit4sr_tpu.data.kernels import sample_degradation_kernels
+
+
+def load_samtext_annotations(
+    ann_path: str,
+    img_dir: str,
+    prompt_dir: Optional[str] = None,
+    image_size: int = 512,
+) -> List[Dict]:
+    """Parse the SAMText dataset.json into per-image records."""
+    with open(ann_path) as f:
+        anns = sorted(json.load(f).items())
+    img_paths = sorted(glob(os.path.join(img_dir, "*.jpg")))
+    prompt_paths = (
+        sorted(glob(os.path.join(prompt_dir, "*.txt"))) if prompt_dir else None
+    )
+
+    files = []
+    for idx, (img_path, (ann_id, ann)) in enumerate(zip(img_paths, anns)):
+        img_id = os.path.splitext(os.path.basename(img_path))[0]
+        assert img_id == ann_id, f"id mismatch: {img_id} vs {ann_id}"
+
+        prompt = None
+        if prompt_paths:
+            with open(prompt_paths[idx]) as pf:
+                prompt = pf.read().strip()
+
+        texts, text_encs, boxes, polys = [], [], [], []
+        for inst in ann["0"]["text_instances"]:
+            text = inst["text"]
+            if not charset.is_valid_word(text):
+                continue
+            texts.append(text)
+            enc = charset.encode(text)
+            assert text == charset.decode(enc), "charset round-trip failed"
+            text_encs.append(enc)
+
+            x1, y1, x2, y2 = [v / image_size for v in inst["bbox"]]
+            boxes.append([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1])
+            poly = np.asarray(inst["polygon"], np.float32) / image_size
+            polys.append(poly)
+
+        if not boxes:
+            continue
+        files.append(
+            {
+                "img_path": img_path,
+                "img_id": img_id,
+                "text": texts,
+                "text_enc": np.asarray(text_encs, np.int32),
+                "bbox": np.asarray(boxes, np.float32),
+                "poly": np.stack(polys),
+                "hq_prompt": prompt,
+            }
+        )
+    return files
+
+
+def synthesize_prompt(texts: List[str], style: str = "descriptive") -> str:
+    """GT-text prompt synthesis (train_dit4sr.py:225-231)."""
+    quoted = [f'"{t}"' for t in texts]
+    if style == "descriptive":
+        return (
+            f"The image features the texts {', '.join(quoted)} that appear "
+            "clearly on signs, boards, buildings, or other objects."
+        )
+    if style == "tag":
+        return ", ".join(quoted)
+    raise ValueError(style)
+
+
+@dataclass
+class SATextDataset:
+    """Map-style dataset over SAMText records."""
+
+    records: List[Dict]
+    null_text_ratio: float = 0.1
+    caption_style: str = "descriptive"
+    crop_size: int = 512
+    seed: int = 0
+    read_retries: int = 3
+
+    def __post_init__(self):
+        self._rng = np.random.default_rng(self.seed)
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def _read_image(self, path: str) -> np.ndarray:
+        import cv2
+
+        last_err = None
+        for _ in range(self.read_retries):
+            try:
+                img = cv2.imread(path, cv2.IMREAD_COLOR)
+                if img is None:
+                    raise IOError(f"failed to read {path}")
+                img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                return img.astype(np.float32) / 255.0
+            except Exception as e:  # retry with a random substitute
+                last_err = e
+                path = self.records[self._rng.integers(len(self.records))]["img_path"]
+        raise last_err
+
+    def __getitem__(self, idx: int) -> Dict:
+        rec = self.records[idx]
+        img = self._read_image(rec["img_path"])
+        h, w = img.shape[:2]
+        if (h, w) != (self.crop_size, self.crop_size):
+            import cv2
+
+            img = cv2.resize(img, (self.crop_size, self.crop_size))
+
+        prompt = synthesize_prompt(rec["text"], self.caption_style)
+        if self._rng.uniform() < self.null_text_ratio:
+            prompt = ""
+
+        k1, k2, sinc = sample_degradation_kernels(self._rng)
+        return {
+            "gt": img,
+            "kernel1": k1,
+            "kernel2": k2,
+            "sinc_kernel": sinc,
+            "prompt": prompt,
+            "text": rec["text"],
+            "text_enc": rec["text_enc"],
+            "bbox": rec["bbox"],
+            "poly": rec["poly"],
+            "img_id": rec["img_id"],
+        }
+
+    def collate(self, items: List[Dict], testr_cfg: Optional[TESTRConfig] = None):
+        """Batch: stacked images/kernels + prompts + padded OCR targets."""
+        batch = {
+            "gt": np.stack([it["gt"] for it in items]),
+            "kernel1": np.stack([it["kernel1"] for it in items]),
+            "kernel2": np.stack([it["kernel2"] for it in items]),
+            "sinc_kernel": np.stack([it["sinc_kernel"] for it in items]),
+            "prompt": [it["prompt"] for it in items],
+            "text": [it["text"] for it in items],
+            "img_id": [it["img_id"] for it in items],
+        }
+        if testr_cfg is not None:
+            from dit4sr_tpu.models.testr.detector import pad_targets
+
+            raw = [
+                {
+                    "labels": np.zeros((len(it["bbox"]),), np.int32),
+                    "boxes": it["bbox"],
+                    "ctrl_points": it["poly"],
+                    "texts": it["text_enc"],
+                }
+                for it in items
+            ]
+            batch["ocr_targets"] = pad_targets(raw, testr_cfg)
+        return batch
+
+    def iter_batches(self, batch_size: int, testr_cfg=None, shuffle=True, epochs=None):
+        """Simple epoch iterator (the reference uses torch DataLoader; here a
+        plain host loop feeding jitted device steps)."""
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = np.arange(len(self))
+            if shuffle:
+                self._rng.shuffle(order)
+            for i in range(0, len(order) - batch_size + 1, batch_size):
+                items = [self[int(j)] for j in order[i : i + batch_size]]
+                yield self.collate(items, testr_cfg)
+            epoch += 1
