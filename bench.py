@@ -8,6 +8,10 @@ Runs the real flagship geometry end to end: SD3.5-medium MMDiT
 (24 blocks, dim 1536, 2-stream control, 2048 img + 333 text tokens),
 full SD3 VAE encode+decode at 512px, 28 flow-match Euler steps in one
 jitted scan, adain color fix.
+
+NOTE: parameters are jit *arguments* everywhere — closing over them bakes
+multi-GB constants into the HLO and stalls compilation (see
+pipelines/sr_pipeline.py docstring).
 """
 
 import json
@@ -24,17 +28,13 @@ from dit4sr_tpu.config import (
 )
 from dit4sr_tpu.models.mmdit import MMDiT
 from dit4sr_tpu.models.vae import AutoencoderKL
-from dit4sr_tpu.pipelines.sr_pipeline import (
-    PipelineModules,
-    SRPipeline,
-    bicubic_upscale,
-)
+from dit4sr_tpu.pipelines.sr_pipeline import SRPipeline, bicubic_upscale
 
 NUM_STEPS = 28
 TARGET_S = 2.0
 
 
-def build_pipeline():
+def build():
     mcfg = mmdit_base().with_(param_dtype=jnp.bfloat16)
     vcfg = VAEConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
 
@@ -52,13 +52,13 @@ def build_pipeline():
         lambda: vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3), jnp.bfloat16))
     )()
 
-    modules = PipelineModules(mmdit, mparams, vae, vparams)
     scfg = SamplerConfig(num_inference_steps=NUM_STEPS, align_method="adain")
-    return SRPipeline(modules, mcfg, vcfg, SchedulerConfig(), scfg)
+    pipe = SRPipeline(mmdit, vae, mcfg, vcfg, SchedulerConfig(), scfg)
+    return pipe, {"mmdit": mparams, "vae": vparams}
 
 
 def main():
-    pipe = build_pipeline()
+    pipe, params = build()
     fn = pipe.jit()
 
     lq = jax.random.uniform(jax.random.PRNGKey(2), (1, 128, 128, 3), jnp.float32)
@@ -66,15 +66,16 @@ def main():
     txt = jax.random.normal(jax.random.PRNGKey(3), (1, 333, 4096), jnp.bfloat16)
     pool = jax.random.normal(jax.random.PRNGKey(4), (1, 2048), jnp.bfloat16)
 
-    # compile + warmup
-    out = fn(jax.random.PRNGKey(5), lq_up, txt, pool)
-    jax.block_until_ready(out)
+    # compile + warmup; pull a value to fully synchronize (axon's
+    # block_until_ready can return before remote execution completes)
+    out = fn(params, jax.random.PRNGKey(5), lq_up, txt, pool)
+    float(out.astype(jnp.float32).sum())
 
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        out = fn(jax.random.PRNGKey(6 + i), lq_up, txt, pool)
-        jax.block_until_ready(out)
+        out = fn(params, jax.random.PRNGKey(6 + i), lq_up, txt, pool)
+        float(out.astype(jnp.float32).sum())  # hard sync
         times.append(time.perf_counter() - t0)
 
     p50 = sorted(times)[len(times) // 2]

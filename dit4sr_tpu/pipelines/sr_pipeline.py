@@ -15,13 +15,16 @@ Per-step OCR prompt feedback (TSM) re-encodes text on host every step and
 therefore runs as a host loop around a jitted single step; see
 `sample_with_prompt_feedback` — same compiled step function, zero
 recompilation across steps because embedding shapes are static.
+
+IMPORTANT (TPU/axon): every jitted entry point takes `params` as an explicit
+argument. Closing over multi-GB parameter pytrees bakes them into the HLO as
+constants and blows compilation up from ~100 s to >1 h.
 """
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,29 +38,24 @@ from dit4sr_tpu.models.vae import (
     unscale_latent,
 )
 from dit4sr_tpu.ops.color_fix import apply_color_fix
-from dit4sr_tpu.schedulers.flow_match import FlowMatchSchedule, make_schedule
-
-
-@dataclass(frozen=True)
-class PipelineModules:
-    mmdit: MMDiT
-    mmdit_params: Any
-    vae: AutoencoderKL
-    vae_params: Any
+from dit4sr_tpu.schedulers.flow_match import make_schedule
 
 
 class SRPipeline:
-    """Bundles models + configs; `__call__` runs LQ->SR end to end under jit."""
+    """Bundles model definitions + configs. Parameters are passed per call as
+    ``params = {"mmdit": ..., "vae": ...}`` so jit treats them as arguments."""
 
     def __init__(
         self,
-        modules: PipelineModules,
+        mmdit: MMDiT,
+        vae: AutoencoderKL,
         model_cfg: MMDiTConfig,
         vae_cfg: VAEConfig,
         scheduler_cfg: SchedulerConfig = SchedulerConfig(),
         sampler_cfg: SamplerConfig = SamplerConfig(),
     ):
-        self.m = modules
+        self.mmdit = mmdit
+        self.vae = vae
         self.model_cfg = model_cfg
         self.vae_cfg = vae_cfg
         self.scheduler_cfg = scheduler_cfg
@@ -65,22 +63,23 @@ class SRPipeline:
 
     # -- pieces -------------------------------------------------------------
 
-    def encode_image(self, image: jnp.ndarray, rng: Optional[jax.Array]) -> jnp.ndarray:
+    def encode_image(
+        self, vae_params, image: jnp.ndarray, rng: Optional[jax.Array]
+    ) -> jnp.ndarray:
         """[0,1] NHWC image -> scaled latent (train_dit4sr.py:204-214)."""
         x = image.astype(self.vae_cfg.dtype) * 2.0 - 1.0
-        mean, logvar = self.m.vae.apply(
-            self.m.vae_params, x, method=AutoencoderKL.encode
-        )
+        mean, logvar = self.vae.apply(vae_params, x, method=AutoencoderKL.encode)
         z = sample_latent(mean, logvar, rng)
         return scale_latent(z, self.vae_cfg)
 
-    def decode_latent(self, latents: jnp.ndarray) -> jnp.ndarray:
+    def decode_latent(self, vae_params, latents: jnp.ndarray) -> jnp.ndarray:
         z = unscale_latent(latents.astype(self.vae_cfg.dtype), self.vae_cfg)
-        img = self.m.vae.apply(self.m.vae_params, z, method=AutoencoderKL.decode)
+        img = self.vae.apply(vae_params, z, method=AutoencoderKL.decode)
         return jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
 
     def velocity(
         self,
+        mmdit_params,
         latents: jnp.ndarray,
         control_latent: jnp.ndarray,
         text_embeds: jnp.ndarray,
@@ -105,8 +104,8 @@ class SRPipeline:
             latents_in, control_in = latents, control_latent
             text_in, pooled_in, mask_in = text_embeds, pooled_embeds, text_mask
         t = jnp.broadcast_to(timestep, (latents_in.shape[0],))
-        out, _ = self.m.mmdit.apply(
-            self.m.mmdit_params,
+        out, _ = self.mmdit.apply(
+            mmdit_params,
             latents_in.astype(self.model_cfg.dtype),
             control_in.astype(self.model_cfg.dtype),
             text_in.astype(self.model_cfg.dtype),
@@ -123,6 +122,7 @@ class SRPipeline:
 
     def sample_latents(
         self,
+        mmdit_params,
         rng: jax.Array,
         control_latent: jnp.ndarray,
         text_embeds: jnp.ndarray,
@@ -144,6 +144,7 @@ class SRPipeline:
 
         def body(latents, i):
             v = self.velocity(
+                mmdit_params,
                 latents,
                 control_latent,
                 text_embeds,
@@ -160,6 +161,7 @@ class SRPipeline:
 
     def __call__(
         self,
+        params: Dict[str, Any],
         rng: jax.Array,
         lq_image: jnp.ndarray,  # (B, H, W, 3) in [0,1], already at process size
         text_embeds: jnp.ndarray,
@@ -169,8 +171,9 @@ class SRPipeline:
         neg_pooled_embeds: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         rng_enc, rng_noise = jax.random.split(rng)
-        control_latent = self.encode_image(lq_image, rng_enc)
+        control_latent = self.encode_image(params["vae"], lq_image, rng_enc)
         latents = self.sample_latents(
+            params["mmdit"],
             rng_noise,
             control_latent,
             text_embeds,
@@ -179,34 +182,33 @@ class SRPipeline:
             neg_text_embeds,
             neg_pooled_embeds,
         )
-        image = self.decode_latent(latents)
+        image = self.decode_latent(params["vae"], latents)
         return apply_color_fix(image, lq_image, self.sampler_cfg.align_method)
 
     def jit(self) -> Callable:
-        """Return the end-to-end jitted callable."""
+        """Return the end-to-end jitted callable (params is argument 0)."""
         return jax.jit(self.__call__)
 
     # -- host-orchestrated sampler with per-step prompt feedback -------------
 
-    def make_step_fn(self) -> Callable:
+    def make_step_fn(self, num_steps: int) -> Callable:
         """One jitted denoise step for host-loop sampling (TSM/VLM feedback,
         pipeline_dit4sr.py:1214-1446). Text embeddings change value but not
         shape across steps, so this compiles exactly once."""
+        sched = make_schedule(self.scheduler_cfg, num_steps)
 
-        @functools.partial(jax.jit, static_argnums=(0,))
+        @jax.jit
         def step(
-            num_steps: int,
+            mmdit_params,
             i: jnp.ndarray,
             latents: jnp.ndarray,
             control_latent: jnp.ndarray,
             text_embeds: jnp.ndarray,
             pooled_embeds: jnp.ndarray,
-            text_mask: Optional[jnp.ndarray],
         ):
-            sched = make_schedule(self.scheduler_cfg, num_steps)
             v = self.velocity(
-                latents, control_latent, text_embeds, pooled_embeds,
-                sched.timesteps[i], text_mask,
+                mmdit_params, latents, control_latent, text_embeds,
+                pooled_embeds, sched.timesteps[i], None,
             )
             return sched.step(i, latents, v)
 
@@ -214,6 +216,7 @@ class SRPipeline:
 
     def sample_with_prompt_feedback(
         self,
+        params: Dict[str, Any],
         rng: jax.Array,
         lq_image: jnp.ndarray,
         encode_prompt_fn: Callable[[int, Any], Tuple[jnp.ndarray, jnp.ndarray]],
@@ -225,7 +228,7 @@ class SRPipeline:
         returns fresh (text_embeds, pooled_embeds) for the next step."""
         n = num_steps or self.sampler_cfg.num_inference_steps
         rng_enc, rng_noise = jax.random.split(rng)
-        control_latent = self.encode_image(lq_image, rng_enc)
+        control_latent = self.encode_image(params["vae"], lq_image, rng_enc)
         noise = jax.random.normal(rng_noise, control_latent.shape, jnp.float32)
         sched = make_schedule(self.scheduler_cfg, n)
         if self.sampler_cfg.start_point == "lr":
@@ -234,18 +237,18 @@ class SRPipeline:
         else:
             latents = noise
 
-        step_fn = self.make_step_fn()
+        step_fn = self.make_step_fn(n)
         text_embeds, pooled_embeds = encode_prompt_fn(0, None)
         for i in range(n):
             latents = step_fn(
-                n, jnp.asarray(i), latents, control_latent,
-                text_embeds, pooled_embeds, None,
+                params["mmdit"], jnp.asarray(i), latents, control_latent,
+                text_embeds, pooled_embeds,
             )
             if ocr_fn is not None and i < n - 1:
                 ocr_result = ocr_fn(latents, i)
                 text_embeds, pooled_embeds = encode_prompt_fn(i + 1, ocr_result)
 
-        image = self.decode_latent(latents)
+        image = self.decode_latent(params["vae"], latents)
         return apply_color_fix(image, lq_image, self.sampler_cfg.align_method)
 
 

@@ -13,28 +13,22 @@ from dit4sr_tpu.config import (
 from dit4sr_tpu.models.mmdit import init_mmdit
 from dit4sr_tpu.models.vae import AutoencoderKL
 from dit4sr_tpu.ops.color_fix import adain_color_fix, wavelet_color_fix
-from dit4sr_tpu.pipelines.sr_pipeline import (
-    PipelineModules,
-    SRPipeline,
-    bicubic_upscale,
-)
+from dit4sr_tpu.pipelines.sr_pipeline import SRPipeline, bicubic_upscale
 
 TEXT_LEN = 8
 
 
 def _pipeline(sampler_kw=None):
-    # latent side must match between vae (32/8=4... use 32px image -> 4x4
-    # latent with 4 ch) and mmdit (in_channels=4, operates on 4x4 latents)
     mcfg = mmdit_tiny(in_channels=4, out_channels=4, sample_size=8)
     vcfg = vae_tiny()
     mmdit, mparams = init_mmdit(jax.random.PRNGKey(0), mcfg, text_len=TEXT_LEN)
     vae = AutoencoderKL(vcfg)
     vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3), vcfg.dtype))
-    modules = PipelineModules(mmdit, mparams, vae, vparams)
     scfg = SamplerConfig(
         num_inference_steps=2, align_method="adain", **(sampler_kw or {})
     )
-    return SRPipeline(modules, mcfg, vcfg, SchedulerConfig(), scfg), mcfg
+    pipe = SRPipeline(mmdit, vae, mcfg, vcfg, SchedulerConfig(), scfg)
+    return pipe, {"mmdit": mparams, "vae": vparams}
 
 
 def _text_inputs(b=1):
@@ -45,31 +39,31 @@ def _text_inputs(b=1):
 
 
 def test_end_to_end_shapes_and_determinism():
-    pipe, _ = _pipeline()
+    pipe, params = _pipeline()
     txt, pool = _text_inputs()
     lq = jnp.asarray(np.random.default_rng(2).uniform(size=(1, 32, 32, 3)), jnp.float32)
     fn = pipe.jit()
-    out1 = fn(jax.random.PRNGKey(42), lq, txt, pool)
-    out2 = fn(jax.random.PRNGKey(42), lq, txt, pool)
+    out1 = fn(params, jax.random.PRNGKey(42), lq, txt, pool)
+    out2 = fn(params, jax.random.PRNGKey(42), lq, txt, pool)
     assert out1.shape == (1, 32, 32, 3)
     assert float(out1.min()) >= 0.0 and float(out1.max()) <= 1.0
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
 
 def test_lr_start_point():
-    pipe, _ = _pipeline({"start_point": "lr"})
+    pipe, params = _pipeline({"start_point": "lr"})
     txt, pool = _text_inputs()
     lq = jnp.asarray(np.random.default_rng(2).uniform(size=(1, 32, 32, 3)), jnp.float32)
-    out = pipe(jax.random.PRNGKey(0), lq, txt, pool)
+    out = pipe(params, jax.random.PRNGKey(0), lq, txt, pool)
     assert np.isfinite(np.asarray(out)).all()
 
 
 def test_cfg_path():
-    pipe, _ = _pipeline({"guidance_scale": 3.0})
+    pipe, params = _pipeline({"guidance_scale": 3.0})
     txt, pool = _text_inputs()
     lq = jnp.asarray(np.random.default_rng(2).uniform(size=(1, 32, 32, 3)), jnp.float32)
     out = pipe(
-        jax.random.PRNGKey(0), lq, txt, pool,
+        params, jax.random.PRNGKey(0), lq, txt, pool,
         neg_text_embeds=jnp.zeros_like(txt), neg_pooled_embeds=jnp.zeros_like(pool),
     )
     assert np.isfinite(np.asarray(out)).all()
@@ -77,12 +71,12 @@ def test_cfg_path():
 
 def test_prompt_feedback_loop_matches_scan_when_static():
     """Host-loop sampler with constant prompts must equal the scan sampler."""
-    pipe, _ = _pipeline()
+    pipe, params = _pipeline()
     txt, pool = _text_inputs()
     lq = jnp.asarray(np.random.default_rng(2).uniform(size=(1, 32, 32, 3)), jnp.float32)
-    out_scan = pipe(jax.random.PRNGKey(7), lq, txt, pool)
+    out_scan = pipe(params, jax.random.PRNGKey(7), lq, txt, pool)
     out_host = pipe.sample_with_prompt_feedback(
-        jax.random.PRNGKey(7), lq, lambda i, ocr: (txt, pool)
+        params, jax.random.PRNGKey(7), lq, lambda i, ocr: (txt, pool)
     )
     np.testing.assert_allclose(
         np.asarray(out_scan), np.asarray(out_host), atol=1e-5
