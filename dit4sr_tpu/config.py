@@ -77,8 +77,9 @@ class MMDiTConfig:
 
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
-    # "xla" = jnp reference attention; "pallas" = fused flash kernel.
-    attn_impl: str = "xla"
+    # "auto" = Pallas flash kernel on TPU, jnp reference on CPU;
+    # "xla" | "xla_dpa" | "pallas" to force a backend.
+    attn_impl: str = "auto"
     # remat transformer blocks to trade FLOPs for HBM during training
     remat: bool = False
 

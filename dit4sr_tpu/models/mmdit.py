@@ -83,15 +83,22 @@ class JointAttention(nn.Module):
         xs = jnp.split(stream_x, S, axis=1)
         n_img = xs[0].shape[1]
 
+        # one base projection over the full stream concat (a single
+        # (S*N, D)x(D, D) matmul feeds the MXU better than S separate ones);
+        # the zero-init composed projections then act on per-stream slices
+        # (attention.py:463-477)
+        base_q = jnp.split(to_q(stream_x), S, axis=1)
+        base_k = jnp.split(to_k(stream_x), S, axis=1)
+        base_v = jnp.split(to_v(stream_x), S, axis=1)
+
         qs, ks, vs = [], [], []
         for i, name in enumerate(cfg.streams):
-            q, k, v = to_q(xs[i]), to_k(xs[i]), to_v(xs[i])
+            q, k, v = base_q[i], base_k[i], base_v[i]
             if i > 0:
                 # composed zero-init control projections (attention.py:475-477)
                 q = dense(f"to_q_{name}", _zeros)(q)
-                k_raw = dense(f"to_k_{name}", _zeros)(k)
+                k = dense(f"to_k_{name}", _zeros)(k)
                 v = dense(f"to_v_{name}", _zeros)(v)
-                k = k_raw
             q, k, v = (split_heads(t, H) for t in (q, k, v))
             q = norm_q(q)
             if i == 1 and cfg.ref_norm_k_quirk:

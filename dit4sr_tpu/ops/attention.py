@@ -54,13 +54,37 @@ def attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     key_mask: Optional[jnp.ndarray] = None,
-    impl: str = "xla",
+    impl: str = "auto",
 ) -> jnp.ndarray:
-    """Dispatch between the XLA reference and the Pallas flash kernel."""
-    if impl == "pallas":
-        from dit4sr_tpu.ops.flash_attention import flash_attention
+    """Dispatch between attention backends.
 
-        return flash_attention(q, k, v, key_mask=key_mask)
+    impl:
+      * "auto"    — pallas on TPU, xla elsewhere
+      * "xla"     — einsum + fp32 softmax reference
+      * "xla_dpa" — jax.nn.dot_product_attention (XLA fused path)
+      * "pallas"  — custom Pallas flash kernel (ops/flash_attention.py)
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+    if impl == "pallas":
+        if key_mask is None:
+            from dit4sr_tpu.ops.flash_attention import flash_attention
+
+            return flash_attention(q, k, v)
+        # the pallas kernel only supports static padding masks; runtime
+        # masks (rare: test-only) take the XLA path
+    if impl == "xla_dpa":
+        mask = None
+        if key_mask is not None:
+            mask = key_mask[:, None, None, :]
+        out = jax.nn.dot_product_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            mask=mask,
+            implementation="xla",
+        )
+        return out.transpose(0, 2, 1, 3)
     return mha_reference(q, k, v, key_mask=key_mask)
 
 

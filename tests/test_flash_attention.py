@@ -1,0 +1,88 @@
+"""Flash-attention kernel parity vs the einsum reference (values + grads).
+
+Runs in Pallas interpret mode on CPU; the same kernel compiles for TPU.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dit4sr_tpu.ops import flash_attention as fa
+from dit4sr_tpu.ops.attention import mha_reference
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    )
+    yield
+
+
+def _qkv(B=1, H=2, N=512, D=64, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(ks[0], (B, H, N, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, H, N, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, H, N, D), jnp.float32)
+    return q, k, v
+
+
+def test_forward_parity_no_pad():
+    q, k, v = _qkv()
+    ref = mha_reference(q, k, v)
+    got = fa.flash_attention(q, k, v, block_q=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_forward_parity_with_internal_padding():
+    """N not a block multiple: the wrapper pads and statically masks, and the
+    result must equal unpadded attention."""
+    q, k, v = _qkv(N=300, B=2)
+    ref = mha_reference(q, k, v)
+    got = fa.flash_attention(q, k, v, block_q=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_gradient_parity():
+    q, k, v = _qkv(N=256)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v) ** 2)
+
+    def loss_fa(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, block_q=128) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_fa = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_fa, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_gradient_parity_with_internal_padding():
+    q, k, v = _qkv(N=300)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v) ** 2)
+
+    def loss_fa(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, block_q=128) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_fa = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fa, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4)
+
+
+def test_runtime_mask_rejected():
+    q, k, v = _qkv(N=128)
+    with pytest.raises(NotImplementedError):
+        fa.flash_attention(q, k, v, key_mask=jnp.ones((1, 128), bool))
