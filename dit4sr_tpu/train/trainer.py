@@ -1,0 +1,243 @@
+"""Training orchestration: the 3-stage DiT4SR recipe as one driver class.
+
+Rebuild of train/train_dit4sr.py:41-787 + initialize.py, TPU-style:
+  * the data path (Real-ESRGAN degradation + VAE encode, both no-grad) is one
+    jitted preprocessing function (reference does this on GPU inline,
+    train_dit4sr.py:188-214);
+  * the optimization step is the pjit-able flow-matching step
+    (train/train_step.py) with the OCR loss wired per stage;
+  * checkpointing is orbax with REAL step resume — the reference's
+    save_state never restores optimizer state or global_step
+    (SURVEY.md §5: "optimizer/step state is NOT restored"; we fix that);
+  * metrics stream to a JSONL file (and wandb when available), including the
+    reference's grad-norm monitoring (train_dit4sr.py:407-479).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dit4sr_tpu.config import (
+    MMDiTConfig,
+    SchedulerConfig,
+    TESTRConfig,
+    TrainConfig,
+    VAEConfig,
+)
+from dit4sr_tpu.data.degradation import DegradationParams, realesrgan_degradation
+from dit4sr_tpu.models.mmdit import MMDiT
+from dit4sr_tpu.models.testr.detector import TextSpotter
+from dit4sr_tpu.models.vae import AutoencoderKL, sample_latent, scale_latent
+from dit4sr_tpu.train.ocr_loss import make_ocr_loss_fn
+from dit4sr_tpu.train.train_state import count_trainable, make_optimizer
+from dit4sr_tpu.train.train_step import Batch, TrainState, make_train_step
+
+
+class MetricLogger:
+    """JSONL metrics + optional wandb (initialize.py:166-178 equivalent)."""
+
+    def __init__(self, out_dir: str, use_wandb: bool = False, project: str = ""):
+        os.makedirs(out_dir, exist_ok=True)
+        self.path = os.path.join(out_dir, "metrics.jsonl")
+        self._f = open(self.path, "a")
+        self.wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                self.wandb = wandb
+                wandb.init(project=project or "dit4sr_tpu")
+            except Exception:
+                self.wandb = None
+
+    def log(self, step: int, metrics: Dict[str, Any]):
+        record = {"step": step, "time": time.time()}
+        for k, v in metrics.items():
+            record[k] = float(v) if hasattr(v, "item") or hasattr(v, "astype") else v
+        self._f.write(json.dumps(record) + "\n")
+        self._f.flush()
+        if self.wandb is not None:
+            self.wandb.log(record, step=step)
+
+
+class Checkpointer:
+    """Orbax checkpointing of the FULL train state with step resume."""
+
+    def __init__(self, ckpt_dir: str, keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self.dir = os.path.abspath(ckpt_dir)
+        os.makedirs(self.dir, exist_ok=True)
+        self.mngr = ocp.CheckpointManager(
+            self.dir,
+            options=ocp.CheckpointManagerOptions(max_to_keep=keep),
+        )
+
+    def save(self, step: int, state: TrainState):
+        import orbax.checkpoint as ocp
+
+        self.mngr.save(step, args=ocp.args.StandardSave(state._asdict()))
+        self.mngr.wait_until_finished()
+
+    def restore(self, state_like: TrainState, step: Optional[int] = None) -> TrainState:
+        import orbax.checkpoint as ocp
+
+        step = step if step is not None else self.mngr.latest_step()
+        if step is None:
+            return state_like
+        restored = self.mngr.restore(
+            step, args=ocp.args.StandardRestore(state_like._asdict())
+        )
+        return TrainState(**restored)
+
+    def latest_step(self) -> Optional[int]:
+        return self.mngr.latest_step()
+
+
+class Trainer:
+    """End-to-end training driver. Stage semantics follow
+    run_configs/train/JIHYE_train_stage{1,2,3}*.yaml."""
+
+    def __init__(
+        self,
+        model_cfg: MMDiTConfig,
+        vae_cfg: VAEConfig,
+        train_cfg: TrainConfig,
+        testr_cfg: Optional[TESTRConfig] = None,
+        sched_cfg: SchedulerConfig = SchedulerConfig(),
+        out_dir: str = "./runs/default",
+        use_wandb: bool = False,
+    ):
+        self.model_cfg = model_cfg
+        self.vae_cfg = vae_cfg
+        self.train_cfg = train_cfg
+        self.testr_cfg = testr_cfg
+        self.sched_cfg = sched_cfg
+        self.out_dir = out_dir
+
+        self.mmdit = MMDiT(model_cfg)
+        self.vae = AutoencoderKL(vae_cfg)
+        self.spotter = TextSpotter(testr_cfg) if testr_cfg is not None else None
+
+        self.logger = MetricLogger(out_dir, use_wandb)
+        self.ckpt = Checkpointer(os.path.join(out_dir, "ckpt"))
+
+    # -- setup ---------------------------------------------------------------
+
+    def init_state(
+        self,
+        rng: jax.Array,
+        mmdit_params=None,
+        testr_params=None,
+        latent_size: int = 64,
+        text_len: int = 154,
+    ) -> TrainState:
+        from dit4sr_tpu.models.mmdit import init_mmdit
+
+        if mmdit_params is None:
+            _, mmdit_params = init_mmdit(
+                rng, self.model_cfg, text_len=text_len
+            )
+        params: Dict[str, Any] = {"mmdit": mmdit_params}
+        if self.spotter is not None:
+            if testr_params is None:
+                from dit4sr_tpu.train.ocr_loss import num_streams_extracted
+
+                n_ext = num_streams_extracted(self.model_cfg)
+                c = self.model_cfg.inner_dim // (self.model_cfg.patch_size ** 2) * n_ext
+                hw = latent_size // self.model_cfg.patch_size * self.model_cfg.patch_size
+                feats = jnp.zeros(
+                    (len(self.model_cfg.feat_extract_layers), 1, hw, hw, c),
+                    jnp.float32,
+                )
+                testr_params = self.spotter.init(jax.random.fold_in(rng, 1), feats)
+            params["testr"] = testr_params
+
+        self.tx, self.mask = make_optimizer(params, self.train_cfg)
+        train_n, total_n = count_trainable(params, self.mask)
+        self.logger.log(0, {"trainable_params": train_n, "total_params": total_n})
+
+        ocr_fn = None
+        if self.spotter is not None and self.train_cfg.stage in ("stage2", "stage3"):
+            ocr_fn = make_ocr_loss_fn(self.spotter, self.model_cfg)
+        self.train_step = jax.jit(
+            make_train_step(self.mmdit, self.tx, self.train_cfg, self.sched_cfg, ocr_fn)
+        )
+        return TrainState(params, self.tx.init(params), jnp.zeros((), jnp.int32))
+
+    def make_preprocess_fn(self) -> Callable:
+        """Jitted (vae_params, rng, gt_images, degradation_params) ->
+        (hq_latent, lq_latent): degradation + no-grad VAE encodes
+        (train_dit4sr.py:188-214)."""
+        vae, vcfg = self.vae, self.vae_cfg
+
+        @jax.jit
+        def preprocess(vae_params, rng, gt, params: DegradationParams):
+            k_deg, k_hq, k_lq = jax.random.split(rng, 3)
+            gt_usm, lq = realesrgan_degradation(k_deg, gt, params)
+
+            def encode(img, key):
+                x = img.astype(vcfg.dtype) * 2.0 - 1.0
+                mean, logvar = vae.apply(vae_params, x, method=AutoencoderKL.encode)
+                return scale_latent(sample_latent(mean, logvar, key), vcfg)
+
+            return encode(gt_usm, k_hq), encode(lq, k_lq)
+
+        return preprocess
+
+    # -- loop ----------------------------------------------------------------
+
+    def fit(
+        self,
+        state: TrainState,
+        batches: Iterable[Dict],
+        vae_params,
+        encode_prompt_fn: Callable,
+        rng: jax.Array,
+        num_steps: Optional[int] = None,
+        resume: bool = True,
+    ) -> TrainState:
+        """batches yield dicts from SATextDataset.collate; encode_prompt_fn:
+        list[str] -> (text_embeds, pooled)."""
+        if resume:
+            state = self.ckpt.restore(state)
+        preprocess = self.make_preprocess_fn()
+        target = num_steps or self.train_cfg.num_train_steps
+        np_rng = np.random.default_rng(self.train_cfg.seed)
+
+        from dit4sr_tpu.data.degradation import sample_params
+
+        for batch in batches:
+            step = int(state.step)
+            if step >= target:
+                break
+            gt = jnp.asarray(batch["gt"])
+            kernels = (batch["kernel1"], batch["kernel2"], batch["sinc_kernel"])
+            deg_params = sample_params(np_rng, gt.shape[0], kernels)
+            step_rng = jax.random.fold_in(rng, step)
+            hq_lat, lq_lat = preprocess(vae_params, step_rng, gt, deg_params)
+
+            text_embeds, pooled = encode_prompt_fn(batch["prompt"])
+            train_batch = Batch(
+                hq_latent=hq_lat,
+                lq_latent=lq_lat,
+                text_embeds=text_embeds,
+                pooled_embeds=pooled,
+            )
+            state, metrics = self.train_step(
+                state, train_batch, rng, batch.get("ocr_targets")
+            )
+
+            if step % 10 == 0 or step == target - 1:
+                self.logger.log(step, metrics)
+            if (step + 1) % self.train_cfg.checkpointing_steps == 0:
+                self.ckpt.save(step + 1, state)
+        return state
