@@ -1,0 +1,153 @@
+"""OCR-guided sampling: per-step text spotting feeds the prompt (TSM).
+
+Rebuild of the reference's defining inference loop
+(pipelines/pipeline_dit4sr.py:1214-1446): at every denoising step the TESTR
+module reads the MMDiT's intermediate features, predicts scene text, the
+predicted words are rewritten into the prompt, and the prompt is re-encoded
+for the next step. Optionally a VLM can correct the OCR words at chosen
+iterations (:1288-1379).
+
+TPU structure: one jitted step computes [velocity + feature extraction +
+TESTR inference + Euler update] on device; only the tiny (K,) word ids and
+scores come back to host, where the prompt is rewritten and re-encoded
+(host because it needs tokenization). Embedding shapes are static so the
+step compiles exactly once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dit4sr_tpu.config import TESTRConfig
+from dit4sr_tpu.data import charset
+from dit4sr_tpu.data.satext import synthesize_prompt
+from dit4sr_tpu.models.testr.detector import SpotterPredictions, TextSpotter
+from dit4sr_tpu.models.testr.model import fuse_dit_features
+from dit4sr_tpu.pipelines.sr_pipeline import SRPipeline
+from dit4sr_tpu.schedulers.flow_match import make_schedule
+from dit4sr_tpu.train.ocr_loss import num_streams_extracted
+
+
+@dataclass
+class OCRStepResult:
+    texts: List[List[str]]          # per batch element: kept words
+    scores: np.ndarray              # (B, K)
+    keep: np.ndarray                # (B, K)
+    polygons: np.ndarray            # (B, K, Np, 2)
+
+
+class OCRGuidedSampler:
+    """SRPipeline + TextSpotter with per-step prompt rewriting."""
+
+    def __init__(
+        self,
+        pipeline: SRPipeline,
+        spotter: TextSpotter,
+        encode_prompt_fn: Callable[[List[str]], Tuple[jnp.ndarray, jnp.ndarray]],
+        caption_style: str = "descriptive",
+        correct_fn: Optional[Callable[[List[str], int], List[str]]] = None,
+        correct_steps: Tuple[int, ...] = (),
+    ):
+        self.pipe = pipeline
+        self.spotter = spotter
+        self.encode_prompt_fn = encode_prompt_fn
+        self.caption_style = caption_style
+        self.correct_fn = correct_fn
+        self.correct_steps = set(correct_steps)
+        self._n_ext = num_streams_extracted(pipeline.model_cfg)
+
+    def make_step_fn(self, num_steps: int) -> Callable:
+        pipe = self.pipe
+        sched = make_schedule(pipe.scheduler_cfg, num_steps)
+        mcfg = pipe.model_cfg
+        spotter = self.spotter
+        n_ext = self._n_ext
+
+        @jax.jit
+        def step(params, i, latents, control_latent, text_embeds, pooled_embeds):
+            t = jnp.broadcast_to(sched.timesteps[i], (latents.shape[0],))
+            out, feats = pipe.mmdit.apply(
+                params["mmdit"],
+                latents.astype(mcfg.dtype),
+                control_latent.astype(mcfg.dtype),
+                text_embeds.astype(mcfg.dtype),
+                pooled_embeds.astype(mcfg.dtype),
+                t,
+                extract_features=True,
+            )
+            new_latents = sched.step(i, latents, out)
+            maps = fuse_dit_features(
+                feats.astype(jnp.float32), mcfg.patch_size, n_ext
+            )
+            preds = spotter.predict(params["testr"], maps)
+            return new_latents, preds
+
+        return step
+
+    def decode_predictions(self, preds: SpotterPredictions) -> OCRStepResult:
+        keep = np.asarray(preds.keep)
+        recs = np.asarray(preds.recs)
+        scores = np.asarray(preds.scores)
+        texts: List[List[str]] = []
+        for b in range(keep.shape[0]):
+            words = [
+                charset.decode(recs[b, k]) for k in np.nonzero(keep[b])[0]
+            ]
+            texts.append([w for w in words if w])
+        return OCRStepResult(texts, scores, keep, np.asarray(preds.polygons))
+
+    def __call__(
+        self,
+        params: Dict[str, Any],
+        rng: jax.Array,
+        lq_image: jnp.ndarray,
+        initial_prompts: List[str],
+        num_steps: Optional[int] = None,
+        return_ocr_log: bool = False,
+    ):
+        """LQ image + initial prompt -> SR image, with per-step TSM feedback."""
+        pipe = self.pipe
+        n = num_steps or pipe.sampler_cfg.num_inference_steps
+        rng_enc, rng_noise = jax.random.split(rng)
+        control_latent = pipe.encode_image(params["vae"], lq_image, rng_enc)
+        noise = jax.random.normal(rng_noise, control_latent.shape, jnp.float32)
+        sched = make_schedule(pipe.scheduler_cfg, n)
+        if pipe.sampler_cfg.start_point == "lr":
+            s0 = sched.sigmas[0]
+            latents = (1.0 - s0) * control_latent.astype(jnp.float32) + s0 * noise
+        else:
+            latents = noise
+
+        step_fn = self.make_step_fn(n)
+        text_embeds, pooled = self.encode_prompt_fn(initial_prompts)
+        ocr_log = []
+        for i in range(n):
+            latents, preds = step_fn(
+                params, jnp.asarray(i), latents, control_latent,
+                text_embeds, pooled,
+            )
+            if i < n - 1:
+                result = self.decode_predictions(preds)
+                ocr_log.append(result)
+                prompts = []
+                for b, words in enumerate(result.texts):
+                    if self.correct_fn is not None and i in self.correct_steps:
+                        words = self.correct_fn(words, i)
+                    if words:
+                        prompts.append(synthesize_prompt(words, self.caption_style))
+                    else:
+                        prompts.append(initial_prompts[b])
+                text_embeds, pooled = self.encode_prompt_fn(prompts)
+
+        image = pipe.decode_latent(params["vae"], latents)
+        from dit4sr_tpu.ops.color_fix import apply_color_fix
+
+        image = apply_color_fix(image, lq_image, pipe.sampler_cfg.align_method)
+        if return_ocr_log:
+            return image, ocr_log
+        return image

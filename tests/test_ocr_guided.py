@@ -1,0 +1,69 @@
+"""OCR-guided sampling loop: end-to-end tiny run with prompt feedback."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dit4sr_tpu.config import (
+    SamplerConfig,
+    SchedulerConfig,
+    mmdit_tiny,
+    vae_tiny,
+)
+from dit4sr_tpu.config import testr_tiny as make_testr_tiny
+from dit4sr_tpu.models.mmdit import init_mmdit
+from dit4sr_tpu.models.testr.detector import TextSpotter
+from dit4sr_tpu.models.vae import AutoencoderKL
+from dit4sr_tpu.pipelines.ocr_guided import OCRGuidedSampler
+from dit4sr_tpu.pipelines.sr_pipeline import SRPipeline
+
+TEXT_LEN = 8
+
+
+def test_ocr_guided_sampling_runs():
+    mcfg = mmdit_tiny(
+        in_channels=4, out_channels=4, sample_size=8,
+        feat_extract_layers=(0, 1), feat_extract="hq+control",
+    )
+    vcfg = vae_tiny()
+    mmdit, mparams = init_mmdit(jax.random.PRNGKey(0), mcfg, text_len=TEXT_LEN)
+    vae = AutoencoderKL(vcfg)
+    vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3), vcfg.dtype))
+
+    # hq+control -> 2 streams; latent 4x4 -> token grid 2x2 -> feat maps 4x4
+    testr_cfg = make_testr_tiny(
+        num_feature_levels=2, num_dit_layers=2, dit_dim=mcfg.inner_dim // 4 * 2,
+    )
+    spotter = TextSpotter(testr_cfg, feat_hw=(4, 4))
+    feats0 = jnp.zeros((2, 1, 4, 4, testr_cfg.dit_dim), jnp.float32)
+    tparams = spotter.init(jax.random.PRNGKey(2), feats0)
+
+    pipe = SRPipeline(
+        mmdit, vae, mcfg, vcfg, SchedulerConfig(),
+        SamplerConfig(num_inference_steps=3, align_method="nofix"),
+    )
+
+    calls = []
+
+    def encode_prompt_fn(prompts):
+        calls.append(list(prompts))
+        rng = np.random.default_rng(len(calls))
+        return (
+            jnp.asarray(rng.normal(size=(len(prompts), TEXT_LEN, mcfg.joint_attention_dim)), jnp.float32),
+            jnp.asarray(rng.normal(size=(len(prompts), mcfg.pooled_projection_dim)), jnp.float32),
+        )
+
+    sampler = OCRGuidedSampler(pipe, spotter, encode_prompt_fn)
+    params = {"mmdit": mparams, "vae": vparams, "testr": tparams}
+    lq = jnp.asarray(np.random.default_rng(5).uniform(size=(1, 32, 32, 3)), jnp.float32)
+
+    img, ocr_log = sampler(
+        params, jax.random.PRNGKey(3), lq, ["initial prompt"], return_ocr_log=True
+    )
+    assert img.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(img)).all()
+    # prompt re-encoded after each non-final step: 1 initial + 2 feedback
+    assert len(calls) == 3
+    assert len(ocr_log) == 2
+    # ocr log contains per-step decoded words (possibly empty) and scores
+    assert ocr_log[0].scores.shape == (1, testr_cfg.num_queries)
