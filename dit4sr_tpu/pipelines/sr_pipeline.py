@@ -189,6 +189,64 @@ class SRPipeline:
         """Return the end-to-end jitted callable (params is argument 0)."""
         return jax.jit(self.__call__)
 
+    # -- tiled sampler for 2K/4K outputs -------------------------------------
+
+    def call_tiled(
+        self,
+        params: Dict[str, Any],
+        rng: jax.Array,
+        lq_image: jnp.ndarray,
+        text_embeds: jnp.ndarray,
+        pooled_embeds: jnp.ndarray,
+        num_steps: Optional[int] = None,
+        vae_tile: int = 64,
+        vae_chunk: int = 1,
+    ) -> jnp.ndarray:
+        """Large-input path: gaussian-stitched latent tiling for the
+        transformer (pipeline_dit4sr.py:1449-1558) + tiled VAE encode/decode
+        (utils/vaehook.py equivalent). All tiles of a step run as ONE batched
+        transformer call instead of the reference's sequential tile loop."""
+        from dit4sr_tpu.utils.tiling import (
+            make_tiled_velocity,
+            tiled_vae_decode,
+            tiled_vae_encode,
+        )
+
+        scfg = self.sampler_cfg
+        sched = make_schedule(
+            self.scheduler_cfg, num_steps or scfg.num_inference_steps
+        )
+        control_latent = tiled_vae_encode(
+            self.vae, params["vae"], lq_image, self.vae_cfg,
+            tile=vae_tile * 8, overlap=vae_tile * 2,
+        )
+        rng_noise = jax.random.fold_in(rng, 1)
+        noise = jax.random.normal(rng_noise, control_latent.shape, jnp.float32)
+        if scfg.start_point == "lr":
+            s0 = sched.sigmas[0]
+            latents = (1.0 - s0) * control_latent.astype(jnp.float32) + s0 * noise
+        else:
+            latents = noise
+
+        def velocity_fn(lat, ctrl, te, pe, t):
+            return self.velocity(params["mmdit"], lat, ctrl, te, pe, t, None)
+
+        tiled_v = make_tiled_velocity(
+            velocity_fn, scfg.latent_tiled_size, scfg.latent_tiled_overlap
+        )
+
+        def body(latents, i):
+            v = tiled_v(latents, control_latent, text_embeds, pooled_embeds,
+                        sched.timesteps[i])
+            return sched.step(i, latents, v), None
+
+        latents, _ = jax.lax.scan(body, latents, jnp.arange(sched.num_steps))
+        image = tiled_vae_decode(
+            self.vae, params["vae"], latents, self.vae_cfg,
+            tile=vae_tile, overlap=vae_tile // 4, chunk=vae_chunk,
+        )
+        return apply_color_fix(image, lq_image, scfg.align_method)
+
     # -- host-orchestrated sampler with per-step prompt feedback -------------
 
     def make_step_fn(self, num_steps: int) -> Callable:

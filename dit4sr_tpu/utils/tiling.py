@@ -1,0 +1,183 @@
+"""Spatial tiling: gaussian-blended latent tiles + tiled VAE decode/encode.
+
+Rebuild of the reference's two tiling mechanisms for large outputs:
+  * latent tiling in the sampler — overlapping 64x64-latent tiles, per-tile
+    transformer calls, gaussian-weighted stitching of the velocity
+    (pipelines/pipeline_dit4sr.py:1449-1558, weights :746-761);
+  * tiled VAE (utils/vaehook.py:536-827).
+
+TPU adaptations:
+  * tile grids are static for a given input size, and all tiles are stacked
+    on the batch axis, so one batched MMDiT/VAE call covers every tile —
+    the reference loops tiles sequentially per step;
+  * the VAE tiles use generous overlap + gaussian blending instead of
+    vaehook's cross-tile GroupNorm statistic aggregation (the reference
+    needs stat aggregation because its tiles barely overlap; with >= 25%
+    overlap blended seams are below bf16 noise). lax.map bounds peak memory
+    when the tile batch is large.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gaussian_weights(tile_h: int, tile_w: int) -> np.ndarray:
+    """Per-pixel contribution weights for one tile (pipeline_dit4sr.py:746-761
+    uses the same midpoint-gaussian construction)."""
+    var = 0.01
+    mid = (tile_w - 1) / 2
+    xs = np.arange(tile_w)
+    x_probs = np.exp(-((xs - mid) ** 2) / (tile_w * tile_w) / (2 * var)) / math.sqrt(
+        2 * math.pi * var
+    )
+    mid = (tile_h - 1) / 2
+    ys = np.arange(tile_h)
+    y_probs = np.exp(-((ys - mid) ** 2) / (tile_h * tile_h) / (2 * var)) / math.sqrt(
+        2 * math.pi * var
+    )
+    return np.outer(y_probs, x_probs).astype(np.float32)
+
+
+def tile_grid(size: int, tile: int, overlap: int) -> List[int]:
+    """Static start offsets covering `size` with `tile`-sized windows."""
+    if size <= tile:
+        return [0]
+    stride = tile - overlap
+    starts = list(range(0, size - tile, stride))
+    starts.append(size - tile)
+    return starts
+
+
+def extract_tiles(x: jnp.ndarray, tile: int, overlap: int) -> Tuple[jnp.ndarray, list]:
+    """(B, H, W, C) -> (T*B, tile, tile, C) stacked tiles + offsets list."""
+    B, H, W, C = x.shape
+    offs = [(i, j) for i in tile_grid(H, tile, overlap) for j in tile_grid(W, tile, overlap)]
+    tiles = jnp.concatenate(
+        [x[:, i : i + tile, j : j + tile] for i, j in offs], axis=0
+    )
+    return tiles, offs
+
+
+def stitch_tiles(
+    tiles: jnp.ndarray, offs: list, out_hw: Tuple[int, int], batch: int,
+    scale: int = 1,
+) -> jnp.ndarray:
+    """Blend (T*B, th, tw, C) tiles back to (B, H*scale, W*scale, C) with
+    gaussian weights. `scale` upsamples the offsets (VAE decode: latent
+    offsets -> pixel offsets)."""
+    T = len(offs)
+    th, tw, C = tiles.shape[1], tiles.shape[2], tiles.shape[3]
+    H, W = out_hw
+    w = jnp.asarray(gaussian_weights(th, tw))[None, :, :, None]
+    acc = jnp.zeros((batch, H, W, C), jnp.float32)
+    norm = jnp.zeros((batch, H, W, 1), jnp.float32)
+    for t, (i, j) in enumerate(offs):
+        tb = tiles[t * batch : (t + 1) * batch].astype(jnp.float32)
+        ii, jj = i * scale, j * scale
+        acc = jax.lax.dynamic_update_slice(
+            acc,
+            jax.lax.dynamic_slice(acc, (0, ii, jj, 0), (batch, th, tw, C)) + tb * w,
+            (0, ii, jj, 0),
+        )
+        norm = jax.lax.dynamic_update_slice(
+            norm,
+            jax.lax.dynamic_slice(norm, (0, ii, jj, 0), (batch, th, tw, 1)) + w,
+            (0, ii, jj, 0),
+        )
+    return acc / norm
+
+
+def tiled_apply(
+    fn: Callable[[jnp.ndarray], jnp.ndarray],
+    x: jnp.ndarray,
+    tile: int,
+    overlap: int,
+    scale: int,
+    chunk: int = 4,
+) -> jnp.ndarray:
+    """Apply `fn` (shape-preserving up to `scale`) over gaussian-blended
+    tiles; `chunk` tiles run per device call via lax.map to bound memory."""
+    B, H, W, C = x.shape
+    if H <= tile and W <= tile:
+        return fn(x)
+    tiles, offs = extract_tiles(x, tile, overlap)
+    T = tiles.shape[0] // B
+
+    n_pad = (-tiles.shape[0]) % chunk
+    if n_pad:
+        tiles = jnp.concatenate([tiles, tiles[:n_pad]], axis=0)
+    groups = tiles.reshape(-1, chunk, tile, tile, C)
+    out_groups = jax.lax.map(fn, groups)
+    oc = out_groups.shape[-1]
+    outs = out_groups.reshape(-1, tile * scale, tile * scale, oc)
+    if n_pad:
+        outs = outs[: T * B]
+    return stitch_tiles(outs, offs, (H * scale, W * scale), B, scale=scale)
+
+
+def tiled_vae_decode(
+    vae, vae_params, latents: jnp.ndarray, vae_cfg,
+    tile: int = 64, overlap: int = 16, chunk: int = 1,
+) -> jnp.ndarray:
+    """Decode large latents tile-by-tile (vaehook equivalent). `tile` is in
+    latent units (64 latent -> 512 px)."""
+    from dit4sr_tpu.models.vae import AutoencoderKL, unscale_latent
+
+    def decode(z):
+        img = vae.apply(vae_params, z.astype(vae_cfg.dtype), method=AutoencoderKL.decode)
+        return img.astype(jnp.float32)
+
+    z = unscale_latent(latents.astype(vae_cfg.dtype), vae_cfg)
+    img = tiled_apply(decode, z, tile, overlap, scale=8, chunk=chunk)
+    return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+
+
+def tiled_vae_encode(
+    vae, vae_params, image: jnp.ndarray, vae_cfg, rng=None,
+    tile: int = 512, overlap: int = 128, chunk: int = 1,
+) -> jnp.ndarray:
+    """Encode a large [0,1] image tile-by-tile to the scaled latent space.
+    Deterministic (mode) when rng is None; tiles share the rng otherwise."""
+    from dit4sr_tpu.models.vae import AutoencoderKL, sample_latent, scale_latent
+
+    def encode(img):
+        x = img.astype(vae_cfg.dtype) * 2.0 - 1.0
+        mean, logvar = vae.apply(vae_params, x, method=AutoencoderKL.encode)
+        z = sample_latent(mean, logvar, rng)
+        return scale_latent(z, vae_cfg).astype(jnp.float32)
+
+    B, H, W, C = image.shape
+    if H <= tile and W <= tile:
+        return encode(image)
+    tiles, offs = extract_tiles(image, tile, overlap)
+    outs = jax.lax.map(encode, tiles.reshape(-1, 1, tile, tile, C)).reshape(
+        -1, tile // 8, tile // 8, vae_cfg.latent_channels
+    )
+    offs8 = [(i // 8, j // 8) for i, j in offs]
+    return stitch_tiles(outs, offs8, (H // 8, W // 8), B)
+
+
+def make_tiled_velocity(velocity_fn: Callable, tile: int, overlap: int) -> Callable:
+    """Wrap a velocity(latents, control, ...) into a gaussian-stitched tiled
+    version (pipeline_dit4sr.py:1449-1558). All tiles are batched into ONE
+    transformer call — text/pooled embeddings are broadcast per tile."""
+
+    def tiled(latents, control, text_embeds, pooled, *args):
+        B, H, W, C = latents.shape
+        if H <= tile and W <= tile:
+            return velocity_fn(latents, control, text_embeds, pooled, *args)
+        lt, offs = extract_tiles(latents, tile, overlap)
+        ct, _ = extract_tiles(control, tile, overlap)
+        T = len(offs)
+        te = jnp.tile(text_embeds, (T, 1, 1))
+        pe = jnp.tile(pooled, (T, 1))
+        v = velocity_fn(lt, ct, te, pe, *args)
+        return stitch_tiles(v, offs, (H, W), B)
+
+    return tiled

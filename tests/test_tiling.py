@@ -1,0 +1,105 @@
+"""Tiling tests: gaussian stitching identity, tiled-vs-untiled VAE parity,
+tiled sampler end to end on tiny shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dit4sr_tpu.config import (
+    SamplerConfig,
+    SchedulerConfig,
+    mmdit_tiny,
+    vae_tiny,
+)
+from dit4sr_tpu.models.mmdit import init_mmdit
+from dit4sr_tpu.models.vae import AutoencoderKL
+from dit4sr_tpu.pipelines.sr_pipeline import SRPipeline
+from dit4sr_tpu.utils.tiling import (
+    extract_tiles,
+    gaussian_weights,
+    stitch_tiles,
+    tile_grid,
+    tiled_apply,
+    tiled_vae_decode,
+    tiled_vae_encode,
+)
+
+TEXT_LEN = 8
+
+
+def test_tile_grid_covers():
+    starts = tile_grid(100, 40, 10)
+    assert starts[0] == 0 and starts[-1] == 60
+    covered = set()
+    for s in starts:
+        covered.update(range(s, s + 40))
+    assert covered == set(range(100))
+
+
+def test_stitch_identity():
+    """Splitting and gaussian-stitching with NO transform must reproduce the
+    input exactly (weights normalize out)."""
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 24, 24, 3)), jnp.float32)
+    tiles, offs = extract_tiles(x, 16, 8)
+    out = stitch_tiles(tiles, offs, (24, 24), 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_apply_linear_fn():
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 32, 32, 3)), jnp.float32)
+    out = tiled_apply(lambda t: t * 2.0, x, tile=16, overlap=8, scale=1, chunk=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2, rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_vae_roundtrip_close_to_untiled():
+    cfg = vae_tiny()
+    vae = AutoencoderKL(cfg)
+    params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), cfg.dtype))
+    img = jnp.asarray(np.random.default_rng(1).uniform(size=(1, 64, 64, 3)), jnp.float32)
+
+    z_tiled = tiled_vae_encode(vae, params, img, cfg, tile=32, overlap=16)
+    assert z_tiled.shape == (1, 8, 8, cfg.latent_channels)
+
+    img_tiled = tiled_vae_decode(vae, params, z_tiled, cfg, tile=4, overlap=2)
+    assert img_tiled.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(img_tiled)).all()
+
+    # NOTE: exact parity with untiled decode is not expected — the VAE
+    # mid-block attention is global, and (like the reference's vaehook) the
+    # tiled path runs it per tile. Check seamlessness instead: decoding a
+    # spatially-uniform latent must give a near-uniform interior (no tile
+    # seams), since every tile sees identical content.
+    z_uniform = jnp.ones_like(z_tiled) * 0.3
+    img_u = np.asarray(tiled_vae_decode(vae, params, z_uniform, cfg, tile=4, overlap=2))
+    interior = img_u[:, 12:-12, 12:-12]
+    assert interior.std(axis=(1, 2)).max() < 0.05
+
+
+def test_tiled_sampler_end_to_end():
+    mcfg = mmdit_tiny(in_channels=4, out_channels=4, sample_size=8)
+    vcfg = vae_tiny()
+    mmdit, mparams = init_mmdit(jax.random.PRNGKey(0), mcfg, text_len=TEXT_LEN)
+    vae = AutoencoderKL(vcfg)
+    vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3), vcfg.dtype))
+    pipe = SRPipeline(
+        mmdit, vae, mcfg, vcfg, SchedulerConfig(),
+        SamplerConfig(
+            num_inference_steps=2, align_method="nofix",
+            latent_tiled_size=4, latent_tiled_overlap=2,
+        ),
+    )
+    params = {"mmdit": mparams, "vae": vparams}
+    # 64px image -> 8x8 latent > 4 tile size: tiling engages
+    lq = jnp.asarray(np.random.default_rng(2).uniform(size=(1, 64, 64, 3)), jnp.float32)
+    out = pipe.call_tiled(params, jax.random.PRNGKey(3), lq,
+                          *_text_inputs(), vae_tile=4)
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def _text_inputs(b=1):
+    rng = np.random.default_rng(0)
+    return (
+        jnp.asarray(rng.normal(size=(b, TEXT_LEN, 24)), jnp.float32),
+        jnp.asarray(rng.normal(size=(b, 16)), jnp.float32),
+    )
