@@ -1,0 +1,102 @@
+"""Image-quality metrics in JAX + a metric registry.
+
+The reference pulls 8 metrics from pyiqa (test/test.py:162-169): psnr, ssim
+(color), lpips, dists, niqe, musiq, maniqa, clipiqa. Here:
+  * PSNR/SSIM are native JAX (jit-able, batched);
+  * learned metrics (LPIPS and beyond) are registry entries that activate
+    when their converted weights are present — zero-egress environments run
+    the native subset and report the rest as unavailable.
+
+All images NHWC float in [0, 1].
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def psnr(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(B,) PSNR in dB over full images."""
+    mse = jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2, axis=(1, 2, 3))
+    return 10.0 * jnp.log10(1.0 / jnp.clip(mse, 1e-10))
+
+
+def _fspecial_gauss(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    ax = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2
+    g = jnp.exp(-(ax ** 2) / (2 * sigma ** 2))
+    g = g / g.sum()
+    return jnp.outer(g, g)
+
+
+def ssim(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(B,) mean SSIM over channels (the reference's `ssimc` treats color
+    channels independently and averages), standard 11x11 gaussian window."""
+    C1, C2 = 0.01 ** 2, 0.03 ** 2
+    win = _fspecial_gauss()[:, :, None, None]
+    c = a.shape[-1]
+    kernel = jnp.tile(win, (1, 1, 1, c))
+
+    def filt(x):
+        return jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), kernel, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    mu_a, mu_b = filt(a), filt(b)
+    mu_a2, mu_b2, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
+    sa = filt(a * a) - mu_a2
+    sb = filt(b * b) - mu_b2
+    sab = filt(a * b) - mu_ab
+    ssim_map = ((2 * mu_ab + C1) * (2 * sab + C2)) / (
+        (mu_a2 + mu_b2 + C1) * (sa + sb + C2)
+    )
+    return jnp.mean(ssim_map, axis=(1, 2, 3))
+
+
+def minmax_normalize(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-image min-max normalization (the reference computes a second
+    'norm' variant of every metric, test/test.py:438-454)."""
+    lo = x.min(axis=(1, 2, 3), keepdims=True)
+    hi = x.max(axis=(1, 2, 3), keepdims=True)
+    return (x - lo) / jnp.clip(hi - lo, 1e-6)
+
+
+class MetricBank:
+    """Registry of available metrics. Full-reference metrics take (pred, gt);
+    no-reference metrics take (pred,)."""
+
+    def __init__(self, weights_dir: Optional[str] = None):
+        self.full_ref: Dict[str, Callable] = {"psnr": psnr, "ssim": ssim}
+        self.no_ref: Dict[str, Callable] = {}
+        self.unavailable = ["lpips", "dists", "niqe", "musiq", "maniqa", "clipiqa"]
+        if weights_dir:
+            self._try_load_learned(weights_dir)
+
+    def _try_load_learned(self, weights_dir: str):
+        import os
+
+        lpips_path = os.path.join(weights_dir, "lpips_alex.npz")
+        if os.path.exists(lpips_path):
+            from dit4sr_tpu.eval.lpips import make_lpips
+
+            self.full_ref["lpips"] = make_lpips(lpips_path)
+            self.unavailable.remove("lpips")
+
+    def compute(self, pred: jnp.ndarray, gt: Optional[jnp.ndarray]) -> Dict[str, np.ndarray]:
+        out = {}
+        if gt is not None:
+            for name, fn in self.full_ref.items():
+                out[name] = np.asarray(fn(pred, gt))
+                out[f"{name}_norm"] = np.asarray(
+                    fn(minmax_normalize(pred), minmax_normalize(gt))
+                )
+        for name, fn in self.no_ref.items():
+            out[name] = np.asarray(fn(pred))
+        return out
