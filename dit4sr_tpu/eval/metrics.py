@@ -76,6 +76,14 @@ class MetricBank:
         self.full_ref: Dict[str, Callable] = {"psnr": psnr, "ssim": ssim}
         self.no_ref: Dict[str, Callable] = {}
         self.unavailable = ["lpips", "dists", "niqe", "musiq", "maniqa", "clipiqa"]
+
+        from dit4sr_tpu.eval.niqe import niqe as niqe_fn, niqe_available
+
+        if niqe_available():
+            self.no_ref["niqe"] = lambda pred: np.asarray(
+                [niqe_fn(np.asarray(p)) for p in pred]
+            )
+            self.unavailable.remove("niqe")
         if weights_dir:
             self._try_load_learned(weights_dir)
 
@@ -97,6 +105,7 @@ class MetricBank:
                 out[f"{name}_norm"] = np.asarray(
                     fn(minmax_normalize(pred), minmax_normalize(gt))
                 )
-        for name, fn in self.no_ref.items():
-            out[name] = np.asarray(fn(pred))
+        if min(pred.shape[1], pred.shape[2]) >= 96:  # NIQE block size
+            for name, fn in self.no_ref.items():
+                out[name] = np.asarray(fn(pred))
         return out
