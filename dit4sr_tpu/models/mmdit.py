@@ -38,6 +38,7 @@ from dit4sr_tpu.models.norms import (
     layer_norm,
 )
 from dit4sr_tpu.ops.attention import attention, merge_heads, split_heads
+from dit4sr_tpu.parallel.sharding import shard_ffn_hidden, shard_heads
 
 _zeros = nn.initializers.zeros_init()
 
@@ -129,9 +130,12 @@ class JointAttention(nn.Module):
                 )
                 key_mask = jnp.concatenate([img_true, text_mask], axis=1)
 
-        q = jnp.concatenate(qs, axis=2)
-        k = jnp.concatenate(ks, axis=2)
-        v = jnp.concatenate(vs, axis=2)
+        # head-sharding over the mesh 'tensor' axis (no-op single chip);
+        # NOTE: composes with attn_impl 'xla'/'xla_dpa' — the pallas kernel
+        # is not auto-partitioned (wrap in shard_map for tensor parallelism)
+        q = shard_heads(jnp.concatenate(qs, axis=2))
+        k = shard_heads(jnp.concatenate(ks, axis=2))
+        v = shard_heads(jnp.concatenate(vs, axis=2))
 
         out = merge_heads(attention(q, k, v, key_mask=key_mask, impl=cfg.attn_impl))
 
@@ -201,7 +205,7 @@ class StreamFFN(nn.Module):
         h = nn.Dense(
             hidden_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="proj_in"
         )(x)
-        h = nn.gelu(h, approximate=True)
+        h = shard_ffn_hidden(nn.gelu(h, approximate=True))
 
         if cfg.ffn_couplings:
             S = cfg.num_streams
