@@ -13,12 +13,17 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.interpreters import pxla
 from jax.sharding import PartitionSpec as P
 
 
 def _current_mesh():
-    mesh = pxla.thread_resources.env.physical_mesh
+    try:
+        from jax._src.mesh import thread_resources
+    except ImportError:  # pragma: no cover - older jax layout
+        from jax.interpreters import pxla as thread_resources_mod
+
+        thread_resources = thread_resources_mod.thread_resources
+    mesh = thread_resources.env.physical_mesh
     return None if mesh.empty else mesh
 
 

@@ -1,0 +1,339 @@
+"""Numerical parity of the flax MMDiT against an independent torch oracle.
+
+The torch model below reimplements the reference architecture semantics
+(diffusers SD3.5 + DiT4SR control branches) directly from the published
+math: shared patch-embed + cropped sincos positions, AdaLN-Zero / ZeroX /
+Continuous modulation orders, per-head RMS qk-norm, composed zero-init
+control projections with pre-out residual, gelu-tanh FFN with the depthwise
+control coupling conv, final AdaLN + unpatchify.
+
+The flax params are created via utils.weights.convert_mmdit from the torch
+state dict (diffusers key layout), so this test simultaneously validates the
+model math AND the weight converter numerics.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from dit4sr_tpu.config import mmdit_tiny
+from dit4sr_tpu.models.embeddings import sincos_2d
+from dit4sr_tpu.models.mmdit import MMDiT
+from dit4sr_tpu.utils import weights as W
+
+CFG = mmdit_tiny(sample_size=8, pos_embed_max_size=8)
+D = CFG.inner_dim
+HD = CFG.attention_head_dim
+NH = CFG.num_attention_heads
+P = CFG.patch_size
+
+
+class TorchRMS(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(dim))
+
+    def forward(self, x):
+        var = x.float().pow(2).mean(-1, keepdim=True)
+        return (x.float() * torch.rsqrt(var + 1e-6)) * self.weight
+
+
+class TorchBlock(nn.Module):
+    def __init__(self, dual, last):
+        super().__init__()
+        self.dual, self.last = dual, last
+        self.norm1 = nn.Linear(D, (9 if dual else 6) * D)
+        self.norm1_context = nn.Linear(D, (2 if last else 6) * D)
+        for name in ("to_q", "to_k", "to_v", "to_out", "add_q", "add_k", "add_v"):
+            setattr(self, name, nn.Linear(D, D))
+        self.to_add_out = None if last else nn.Linear(D, D)
+        self.norm_q, self.norm_k = TorchRMS(HD), TorchRMS(HD)
+        self.norm_aq, self.norm_ak = TorchRMS(HD), TorchRMS(HD)
+        self.q_c = nn.Linear(D, D)
+        self.k_c = nn.Linear(D, D)
+        self.v_c = nn.Linear(D, D)
+        self.out_c = nn.Linear(D, D)
+        for m in (self.q_c, self.k_c, self.v_c):
+            nn.init.zeros_(m.weight)
+            nn.init.zeros_(m.bias)
+        if dual:
+            for name in ("to_q2", "to_k2", "to_v2", "to_out2"):
+                setattr(self, name, nn.Linear(D, D))
+            self.norm_q2, self.norm_k2 = TorchRMS(HD), TorchRMS(HD)
+            self.q_c2, self.k_c2, self.v_c2 = (nn.Linear(D, D) for _ in range(3))
+            self.out_c2 = nn.Linear(D, D)
+            for m in (self.q_c2, self.k_c2, self.v_c2):
+                nn.init.zeros_(m.weight)
+                nn.init.zeros_(m.bias)
+        self.ff_in = nn.Linear(D, 4 * D)
+        self.ff_out = nn.Linear(4 * D, D)
+        self.ctrl_conv = nn.Conv2d(4 * D, 4 * D, 3, padding=1, groups=4 * D)
+        nn.init.zeros_(self.ctrl_conv.weight)
+        nn.init.zeros_(self.ctrl_conv.bias)
+        if not last:
+            self.ffc_in = nn.Linear(D, 4 * D)
+            self.ffc_out = nn.Linear(4 * D, D)
+
+    @staticmethod
+    def ln(x):
+        return F.layer_norm(x.float(), (D,), eps=1e-6)
+
+    def heads(self, x):
+        b, n, _ = x.shape
+        return x.view(b, n, NH, HD).transpose(1, 2)
+
+    def joint_attn(self, hq, ctrl, txt, projs):
+        to_q, to_k, to_v, to_out, q_c, k_c, v_c, out_c, nq, nk = projs
+        q = self.heads(to_q(hq))
+        k = self.heads(to_k(hq))
+        v = self.heads(to_v(hq))
+        qc = self.heads(q_c(to_q(ctrl)))
+        kc = self.heads(k_c(to_k(ctrl)))
+        vc = self.heads(v_c(to_v(ctrl)))
+        q, qc = nq(q), nq(qc)
+        k, kc = nk(k), nk(kc)
+        parts_q, parts_k, parts_v = [q, qc], [k, kc], [v, vc]
+        if txt is not None:
+            tq = self.heads(self.add_q(txt))
+            tk = self.heads(self.add_k(txt))
+            tv = self.heads(self.add_v(txt))
+            parts_q.append(self.norm_aq(tq))
+            parts_k.append(self.norm_ak(tk))
+            parts_v.append(tv.float())
+        qq = torch.cat(parts_q, 2)
+        kk = torch.cat(parts_k, 2)
+        vv = torch.cat([p.float() for p in parts_v], 2)
+        out = F.scaled_dot_product_attention(qq, kk, vv)
+        b, _, n_all, _ = out.shape
+        out = out.transpose(1, 2).reshape(b, n_all, D)
+        n = hq.shape[1]
+        img, txt_out = out[:, : 2 * n], out[:, 2 * n :]
+        o_hq, o_ctrl = img.chunk(2, 1)
+        o_ctrl = o_ctrl + ctrl  # pre-projection control residual
+        o = torch.cat([to_out(o_hq), out_c(o_ctrl)], 1)
+        return o, txt_out
+
+    def forward(self, x, txt, temb):
+        n = x.shape[1] // 2
+        mod = self.norm1(F.silu(temb))
+        if self.dual:
+            (s_msa, sc_msa, g_msa, s_mlp, sc_mlp, g_mlp,
+             s2, sc2, g2) = mod.chunk(9, -1)
+        else:
+            s_msa, sc_msa, g_msa, s_mlp, sc_mlp, g_mlp = mod.chunk(6, -1)
+        ln_x = self.ln(x)
+        normed = ln_x * (1 + sc_msa[:, None]) + s_msa[:, None]
+        normed2 = (
+            ln_x * (1 + sc2[:, None]) + s2[:, None] if self.dual else None
+        )
+
+        cmod = self.norm1_context(F.silu(temb))
+        if self.last:
+            c_scale, c_shift = cmod.chunk(2, -1)
+            normed_txt = self.ln(txt) * (1 + c_scale[:, None]) + c_shift[:, None]
+        else:
+            (cs_msa, csc_msa, cg_msa, cs_mlp, csc_mlp, cg_mlp) = cmod.chunk(6, -1)
+            normed_txt = self.ln(txt) * (1 + csc_msa[:, None]) + cs_msa[:, None]
+
+        hq, ctrl = normed.chunk(2, 1)
+        attn, txt_attn = self.joint_attn(
+            hq, ctrl, normed_txt,
+            (self.to_q, self.to_k, self.to_v, self.to_out,
+             self.q_c, self.k_c, self.v_c, self.out_c, self.norm_q, self.norm_k),
+        )
+        x = x + g_msa[:, None] * attn
+
+        if self.dual:
+            hq2, ctrl2 = normed2.chunk(2, 1)
+            attn2, _ = self.joint_attn(
+                hq2, ctrl2, None,
+                (self.to_q2, self.to_k2, self.to_v2, self.to_out2,
+                 self.q_c2, self.k_c2, self.v_c2, self.out_c2,
+                 self.norm_q2, self.norm_k2),
+            )
+            x = x + g2[:, None] * attn2
+
+        ff_x = self.ln(x) * (1 + sc_mlp[:, None]) + s_mlp[:, None]
+        h = F.gelu(self.ff_in(ff_x), approximate="tanh")
+        h_hq, h_ctrl = h.chunk(2, 1)
+        side = int(math.isqrt(n))
+        grid = h_ctrl.reshape(-1, side, side, 4 * D).permute(0, 3, 1, 2)
+        cond = self.ctrl_conv(grid).reshape(-1, 4 * D, n).permute(0, 2, 1)
+        h = torch.cat([h_hq + cond, h_ctrl], 1)
+        x = x + g_mlp[:, None] * self.ff_out(h)
+
+        if self.last:
+            return x, txt
+        txt = txt + cg_msa[:, None] * self.to_add_out(txt_attn)
+        ff_t = self.ln(txt) * (1 + csc_mlp[:, None]) + cs_mlp[:, None]
+        txt = txt + cg_mlp[:, None] * self.ffc_out(
+            F.gelu(self.ffc_in(ff_t), approximate="tanh")
+        )
+        return x, txt
+
+
+class TorchMMDiT(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.patch = nn.Conv2d(CFG.in_channels, D, P, stride=P)
+        self.pos = torch.from_numpy(
+            sincos_2d(D, CFG.pos_embed_max_size, CFG.sample_size // P)
+        )
+        self.t1 = nn.Linear(256, D)
+        self.t2 = nn.Linear(D, D)
+        self.p1 = nn.Linear(CFG.pooled_projection_dim, D)
+        self.p2 = nn.Linear(D, D)
+        self.ctx = nn.Linear(CFG.joint_attention_dim, D)
+        self.blocks = nn.ModuleList(
+            [
+                TorchBlock(i in CFG.dual_attention_layers, i == CFG.num_layers - 1)
+                for i in range(CFG.num_layers)
+            ]
+        )
+        self.norm_out = nn.Linear(D, 2 * D)
+        self.proj_out = nn.Linear(D, P * P * CFG.out_channels)
+
+    def time_embed(self, t):
+        half = 128
+        freqs = torch.exp(-math.log(10000.0) * torch.arange(half) / half)
+        args = t.float()[:, None] * freqs[None]
+        return torch.cat([torch.cos(args), torch.sin(args)], -1)
+
+    def forward(self, lat, ctrl_img, txt, pooled, t):
+        b, c, hh, ww = lat.shape
+        gh, gw = hh // P, ww // P
+
+        def embed(img):
+            tok = self.patch(img).flatten(2).transpose(1, 2)
+            m = CFG.pos_embed_max_size
+            table = self.pos.reshape(m, m, D)
+            top, left = (m - gh) // 2, (m - gw) // 2
+            pos = table[top : top + gh, left : left + gw].reshape(1, gh * gw, D)
+            return tok + pos
+
+        x = torch.cat([embed(lat), embed(ctrl_img)], 1)
+        temb = self.t2(F.silu(self.t1(self.time_embed(t)))) + self.p2(
+            F.silu(self.p1(pooled))
+        )
+        txt = self.ctx(txt)
+        for blk in self.blocks:
+            x, txt = blk(x, txt, temb)
+        hq = x.chunk(2, 1)[0]
+        mod = self.norm_out(F.silu(temb))
+        scale, shift = mod.chunk(2, -1)
+        hq = F.layer_norm(hq.float(), (D,), eps=1e-6) * (1 + scale[:, None]) + shift[:, None]
+        out = self.proj_out(hq)
+        # unpatchify to NCHW
+        out = out.reshape(b, gh, gw, P, P, CFG.out_channels)
+        out = out.permute(0, 5, 1, 3, 2, 4).reshape(b, CFG.out_channels, hh, ww)
+        return out
+
+
+def _torch_to_diffusers_sd(model: TorchMMDiT) -> dict:
+    """Rename the oracle's params into the diffusers key layout consumed by
+    utils.weights.convert_mmdit."""
+    sd = {}
+    g = lambda m: (m.weight.detach().numpy(), m.bias.detach().numpy())  # noqa: E731
+
+    def put(key, m):
+        w, b = g(m)
+        sd[f"{key}.weight"] = w
+        sd[f"{key}.bias"] = b
+
+    put("pos_embed.proj", model.patch)
+    put("time_text_embed.timestep_embedder.linear_1", model.t1)
+    put("time_text_embed.timestep_embedder.linear_2", model.t2)
+    put("time_text_embed.text_embedder.linear_1", model.p1)
+    put("time_text_embed.text_embedder.linear_2", model.p2)
+    put("context_embedder", model.ctx)
+    put("norm_out.linear", model.norm_out)
+    put("proj_out", model.proj_out)
+    for i, blk in enumerate(model.blocks):
+        tp = f"transformer_blocks.{i}"
+        put(f"{tp}.norm1.linear", blk.norm1)
+        put(f"{tp}.norm1_context.linear", blk.norm1_context)
+        put(f"{tp}.attn.to_q", blk.to_q)
+        put(f"{tp}.attn.to_k", blk.to_k)
+        put(f"{tp}.attn.to_v", blk.to_v)
+        put(f"{tp}.attn.to_out.0", blk.to_out)
+        put(f"{tp}.attn.add_q_proj", blk.add_q)
+        put(f"{tp}.attn.add_k_proj", blk.add_k)
+        put(f"{tp}.attn.add_v_proj", blk.add_v)
+        put(f"{tp}.attn.to_q_control", blk.q_c)
+        put(f"{tp}.attn.to_k_control", blk.k_c)
+        put(f"{tp}.attn.to_v_control", blk.v_c)
+        put(f"{tp}.attn.to_out_control", blk.out_c)
+        sd[f"{tp}.attn.norm_q.weight"] = blk.norm_q.weight.detach().numpy()
+        sd[f"{tp}.attn.norm_k.weight"] = blk.norm_k.weight.detach().numpy()
+        sd[f"{tp}.attn.norm_added_q.weight"] = blk.norm_aq.weight.detach().numpy()
+        sd[f"{tp}.attn.norm_added_k.weight"] = blk.norm_ak.weight.detach().numpy()
+        if blk.to_add_out is not None:
+            put(f"{tp}.attn.to_add_out", blk.to_add_out)
+        if blk.dual:
+            put(f"{tp}.attn2.to_q", blk.to_q2)
+            put(f"{tp}.attn2.to_k", blk.to_k2)
+            put(f"{tp}.attn2.to_v", blk.to_v2)
+            put(f"{tp}.attn2.to_out.0", blk.to_out2)
+            put(f"{tp}.attn2.to_q_control", blk.q_c2)
+            put(f"{tp}.attn2.to_k_control", blk.k_c2)
+            put(f"{tp}.attn2.to_v_control", blk.v_c2)
+            put(f"{tp}.attn2.to_out_control", blk.out_c2)
+            sd[f"{tp}.attn2.norm_q.weight"] = blk.norm_q2.weight.detach().numpy()
+            sd[f"{tp}.attn2.norm_k.weight"] = blk.norm_k2.weight.detach().numpy()
+        put(f"{tp}.ff.net.0.proj", blk.ff_in)
+        put(f"{tp}.ff.net.2", blk.ff_out)
+        sd[f"{tp}.ff.control_conv.weight"] = blk.ctrl_conv.weight.detach().numpy()
+        sd[f"{tp}.ff.control_conv.bias"] = blk.ctrl_conv.bias.detach().numpy()
+        if not blk.last:
+            put(f"{tp}.ff_context.net.0.proj", blk.ffc_in)
+            put(f"{tp}.ff_context.net.2", blk.ffc_out)
+    return sd
+
+
+def test_mmdit_matches_torch_oracle():
+    torch.manual_seed(0)
+    oracle = TorchMMDiT().eval()
+    # give the zero-init branches real values so the control path is exercised
+    with torch.no_grad():
+        for blk in oracle.blocks:
+            for m in [blk.q_c, blk.k_c, blk.v_c] + (
+                [blk.q_c2, blk.k_c2, blk.v_c2] if blk.dual else []
+            ):
+                m.weight.normal_(0, 0.05)
+                m.bias.normal_(0, 0.02)
+            blk.ctrl_conv.weight.normal_(0, 0.05)
+            blk.ctrl_conv.bias.normal_(0, 0.02)
+
+    sd = _torch_to_diffusers_sd(oracle)
+    params = jax.tree.map(jnp.asarray, W.convert_mmdit(sd, CFG))
+    model = MMDiT(CFG)
+
+    rng = np.random.default_rng(0)
+    B, S = 2, CFG.sample_size
+    lat = rng.normal(size=(B, CFG.in_channels, S, S)).astype(np.float32)
+    ctrl = rng.normal(size=(B, CFG.in_channels, S, S)).astype(np.float32)
+    txt = rng.normal(size=(B, 6, CFG.joint_attention_dim)).astype(np.float32)
+    pooled = rng.normal(size=(B, CFG.pooled_projection_dim)).astype(np.float32)
+    t = rng.uniform(0, 1000, size=(B,)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = oracle(
+            torch.from_numpy(lat), torch.from_numpy(ctrl),
+            torch.from_numpy(txt), torch.from_numpy(pooled), torch.from_numpy(t),
+        ).numpy()
+
+    out, _ = model.apply(
+        params,
+        jnp.asarray(lat.transpose(0, 2, 3, 1)),
+        jnp.asarray(ctrl.transpose(0, 2, 3, 1)),
+        jnp.asarray(txt),
+        jnp.asarray(pooled),
+        jnp.asarray(t),
+    )
+    got = np.asarray(out).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
