@@ -80,6 +80,10 @@ class MMDiTConfig:
     # "auto" = Pallas flash kernel on TPU, jnp reference on CPU;
     # "xla" | "xla_dpa" | "pallas" to force a backend.
     attn_impl: str = "auto"
+    # sow attention probabilities into the 'intermediates' collection for
+    # visualization (forces the xla backend; the reference's attn-map
+    # harness, pipeline_dit4sr.py:1135-1202)
+    capture_attention: bool = False
     # remat transformer blocks to trade FLOPs for HBM during training
     remat: bool = False
 

@@ -137,7 +137,29 @@ class JointAttention(nn.Module):
         k = shard_heads(jnp.concatenate(ks, axis=2))
         v = shard_heads(jnp.concatenate(vs, axis=2))
 
-        out = merge_heads(attention(q, k, v, key_mask=key_mask, impl=cfg.attn_impl))
+        if cfg.capture_attention:
+            # visualization harness: sow softmax probabilities
+            # (apply with mutable=["intermediates"] to collect)
+            dh = q.shape[-1]
+            logits = jnp.einsum(
+                "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+            ) / jnp.sqrt(jnp.float32(dh))
+            if key_mask is not None:
+                logits = jnp.where(
+                    key_mask[:, None, None, :], logits, jnp.finfo(jnp.float32).min
+                )
+            probs = jax.nn.softmax(logits, axis=-1)
+            self.sow("intermediates", "attn_probs", probs)
+            out = merge_heads(
+                jnp.einsum(
+                    "bhnm,bhmd->bhnd", probs.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32,
+                ).astype(q.dtype)
+            )
+        else:
+            out = merge_heads(
+                attention(q, k, v, key_mask=key_mask, impl=cfg.attn_impl)
+            )
 
         img_out, text_out = out[:, : S * n_img], out[:, S * n_img :]
         outs = jnp.split(img_out, S, axis=1)
