@@ -35,8 +35,13 @@ TARGET_S = 2.0
 
 
 def build():
-    mcfg = mmdit_base().with_(param_dtype=jnp.bfloat16)
+    # folded control projections: exact-math inference optimization
+    # (models/mmdit.py fold_control_projections)
+    base_cfg = mmdit_base().with_(param_dtype=jnp.bfloat16)
+    mcfg = base_cfg.with_(folded_control=True)
     vcfg = VAEConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+
+    from dit4sr_tpu.models.mmdit import fold_control_projections
 
     mmdit = MMDiT(mcfg)
     lat = jnp.zeros((1, 64, 64, 16), jnp.bfloat16)
@@ -44,8 +49,9 @@ def build():
     pool = jnp.zeros((1, 2048), jnp.bfloat16)
     t = jnp.zeros((1,), jnp.float32)
     mparams = jax.jit(
-        lambda: mmdit.init(jax.random.PRNGKey(0), lat, lat, txt, pool, t)
+        lambda: MMDiT(base_cfg).init(jax.random.PRNGKey(0), lat, lat, txt, pool, t)
     )()
+    mparams = fold_control_projections(mparams, base_cfg)
 
     vae = AutoencoderKL(vcfg)
     vparams = jax.jit(

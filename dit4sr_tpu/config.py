@@ -84,6 +84,10 @@ class MMDiTConfig:
     # visualization (forces the xla backend; the reference's attn-map
     # harness, pipeline_dit4sr.py:1135-1202)
     capture_attention: bool = False
+    # inference-only: control projections are algebraically folded
+    # (W_ctrl @ W_base as one matmul); requires params transformed by
+    # models.mmdit.fold_control_projections
+    folded_control: bool = False
     # remat transformer blocks to trade FLOPs for HBM during training
     remat: bool = False
 

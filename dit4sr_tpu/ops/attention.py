@@ -69,7 +69,21 @@ def attention(
     if impl == "pallas":
         if key_mask is None:
             from dit4sr_tpu.ops.flash_attention import flash_attention
+            from dit4sr_tpu.parallel.sharding import _current_mesh
 
+            mesh = _current_mesh()
+            if mesh is not None and mesh.shape.get("tensor", 1) > 1:
+                # head-parallel: attention is head-local, so shard_map over
+                # the tensor axis runs the kernel per head shard with no
+                # collectives
+                from jax.sharding import PartitionSpec as P
+
+                spec = P(("data", "fsdp"), "tensor", None, None)
+                return jax.shard_map(
+                    lambda q, k, v: flash_attention(q, k, v),
+                    mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+                    check_vma=False,  # pallas_call outputs carry no vma info
+                )(q, k, v)
             return flash_attention(q, k, v)
         # the pallas kernel only supports static padding masks; runtime
         # masks (rare: test-only) take the XLA path
