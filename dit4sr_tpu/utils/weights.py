@@ -354,3 +354,139 @@ def check_tree_matches(params_ref, params_new) -> Tuple[list, list]:
     )
     unexpected = sorted(k for k in new if k not in ref)
     return missing, unexpected
+
+
+# ---------------------------------------------------------------------------
+# TESTR conversion (reference saves raw torch state dicts of
+# TransformerDetector as ts_module*.pt; train_dit4sr.py:509-514)
+# ---------------------------------------------------------------------------
+
+
+def _mha(sd, prefix: str) -> dict:
+    """torch nn.MultiheadAttention (packed in_proj) -> our MHA module."""
+    w = np.asarray(sd[f"{prefix}.in_proj_weight"])
+    b = np.asarray(sd[f"{prefix}.in_proj_bias"])
+    d = w.shape[1]
+    out = {}
+    for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+        out[name] = {
+            "kernel": np.ascontiguousarray(w[i * d : (i + 1) * d].T),
+            "bias": b[i * d : (i + 1) * d],
+        }
+    out["out_proj"] = linear(
+        sd[f"{prefix}.out_proj.weight"], sd[f"{prefix}.out_proj.bias"]
+    )
+    return out
+
+
+def _ms_deform(sd, prefix: str) -> dict:
+    return {
+        name: linear(sd[f"{prefix}.{name}.weight"], sd[f"{prefix}.{name}.bias"])
+        for name in ("sampling_offsets", "attention_weights", "value_proj", "output_proj")
+    }
+
+
+def _ln(sd, prefix: str) -> dict:
+    return {"scale": np.asarray(sd[f"{prefix}.weight"]), "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def _gn(sd, prefix: str) -> dict:
+    # flax GroupNorm parameter names inside our GroupNorm32/nn.GroupNorm
+    return {"scale": np.asarray(sd[f"{prefix}.weight"]), "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def _mlp(sd, prefix: str, n_layers: int) -> dict:
+    return {
+        f"layers_{j}": linear(
+            sd[f"{prefix}.layers.{j}.weight"], sd[f"{prefix}.layers.{j}.bias"]
+        )
+        for j in range(n_layers)
+    }
+
+
+def _ffn(sd, prefix: str, norm_name: str) -> dict:
+    return {
+        "linear1": linear(sd[f"{prefix}.linear1.weight"], sd[f"{prefix}.linear1.bias"]),
+        "linear2": linear(sd[f"{prefix}.linear2.weight"], sd[f"{prefix}.linear2.bias"]),
+        "norm": _ln(sd, f"{prefix}.{norm_name}"),
+    }
+
+
+def convert_testr(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """TransformerDetector state dict -> TESTR flax params.
+
+    `cfg` is a TESTRConfig. Keys may carry the detector's "testr." prefix
+    (transformer_detector.py wraps the model as `self.testr`).
+    """
+    if any(k.startswith("testr.") for k in sd):
+        sd = {k[len("testr."):]: v for k, v in sd.items() if k.startswith("testr.")}
+
+    p: dict = {
+        "level_embed": np.asarray(sd["transformer.level_embed"]),
+        "enc_output": linear(
+            sd["transformer.enc_output.weight"], sd["transformer.enc_output.bias"]
+        ),
+        "enc_output_norm": _ln(sd, "transformer.enc_output_norm"),
+        "pos_trans": linear(
+            sd["transformer.pos_trans.weight"], sd["transformer.pos_trans.bias"]
+        ),
+        "pos_trans_norm": _ln(sd, "transformer.pos_trans_norm"),
+        "ctrl_point_embed": np.asarray(sd["ctrl_point_embed.weight"]),
+        "text_embed": np.asarray(sd["text_embed.weight"]),
+        # heads are shared across decoder layers (models.py:205-209): index 0
+        "ctrl_point_class": linear(
+            sd["ctrl_point_class.0.weight"], sd["ctrl_point_class.0.bias"]
+        ),
+        "ctrl_point_coord": _mlp(sd, "ctrl_point_coord.0", 3),
+        "bbox_class": linear(sd["bbox_class.weight"], sd["bbox_class.bias"]),
+        "bbox_coord": _mlp(sd, "bbox_coord", 3),
+        "text_class": linear(sd["text_class.weight"], sd["text_class.bias"]),
+    }
+
+    for l in range(cfg.num_feature_levels):
+        fp = f"diff_feat_proj.{l}"
+        p[f"feat_proj_{l}"] = {
+            "proj_0": conv(sd[f"{fp}.proj.0.weight"], sd[f"{fp}.proj.0.bias"]),
+            "proj_1": _gn(sd, f"{fp}.proj.1"),
+            "proj_3": conv(sd[f"{fp}.proj.3.weight"], sd[f"{fp}.proj.3.bias"]),
+            "proj_5": conv(sd[f"{fp}.proj.5.weight"], sd[f"{fp}.proj.5.bias"]),
+            "proj_6": _gn(sd, f"{fp}.proj.6"),
+            "shortcut": conv(sd[f"{fp}.shortcut.weight"], sd[f"{fp}.shortcut.bias"]),
+        }
+
+    for i in range(cfg.num_encoder_layers):
+        ep = f"transformer.encoder.layers.{i}"
+        p[f"encoder_{i}"] = {
+            "self_attn": _ms_deform(sd, f"{ep}.self_attn"),
+            "norm1": _ln(sd, f"{ep}.norm1"),
+            "ffn": _ffn(sd, ep, "norm2"),
+        }
+
+    for i in range(cfg.num_decoder_layers):
+        dp = f"transformer.decoder.layers.{i}"
+        p[f"decoder_{i}"] = {
+            "attn_intra": _mha(sd, f"{dp}.attn_intra"),
+            "norm_intra": _ln(sd, f"{dp}.norm_intra"),
+            "attn_inter": _mha(sd, f"{dp}.attn_inter"),
+            "norm_inter": _ln(sd, f"{dp}.norm_inter"),
+            "attn_cross": _ms_deform(sd, f"{dp}.attn_cross"),
+            "norm_cross": _ln(sd, f"{dp}.norm_cross"),
+            "attn_intra_text": _mha(sd, f"{dp}.attn_intra_text"),
+            "norm_intra_text": _ln(sd, f"{dp}.norm_intra_text"),
+            "attn_inter_text": _mha(sd, f"{dp}.attn_inter_text"),
+            "norm_inter_text": _ln(sd, f"{dp}.norm_inter_text"),
+            "attn_cross_text": _ms_deform(sd, f"{dp}.attn_cross_text"),
+            "norm_cross_text": _ln(sd, f"{dp}.norm_cross_text"),
+            "ffn": _ffn(sd, dp, "norm3"),
+            "ffn_text": {
+                "linear1": linear(
+                    sd[f"{dp}.linear1_text.weight"], sd[f"{dp}.linear1_text.bias"]
+                ),
+                "linear2": linear(
+                    sd[f"{dp}.linear2_text.weight"], sd[f"{dp}.linear2_text.bias"]
+                ),
+                "norm": _ln(sd, f"{dp}.norm3_text"),
+            },
+        }
+
+    return {"params": p}

@@ -253,3 +253,126 @@ def test_safetensors_roundtrip(tmp_path):
     loaded = W.load_safetensors(str(path))
     np.testing.assert_array_equal(loaded["a"], arrs["a"])
     np.testing.assert_array_equal(loaded["b"], arrs["b"])
+
+
+def _synthetic_testr_sd(cfg):
+    """TransformerDetector key layout for the tiny config."""
+    g = _rng_dict()
+    d, dff = cfg.d_model, cfg.dim_feedforward
+    L, P = cfg.num_feature_levels, 4  # enc/dec points share n_points=4 default
+    M = cfg.nheads
+    sd = {
+        "testr.transformer.level_embed": g(L, d),
+        "testr.transformer.enc_output.weight": g(d, d),
+        "testr.transformer.enc_output.bias": g(d),
+        "testr.transformer.enc_output_norm.weight": g(d),
+        "testr.transformer.enc_output_norm.bias": g(d),
+        "testr.transformer.pos_trans.weight": g(d, 256),
+        "testr.transformer.pos_trans.bias": g(d),
+        "testr.transformer.pos_trans_norm.weight": g(d),
+        "testr.transformer.pos_trans_norm.bias": g(d),
+        "testr.ctrl_point_embed.weight": g(cfg.num_ctrl_points, d),
+        "testr.text_embed.weight": g(cfg.max_text_len, d),
+        "testr.ctrl_point_class.0.weight": g(cfg.num_classes, d),
+        "testr.ctrl_point_class.0.bias": g(cfg.num_classes),
+        "testr.bbox_class.weight": g(cfg.num_classes, d),
+        "testr.bbox_class.bias": g(cfg.num_classes),
+        "testr.text_class.weight": g(cfg.voc_size + 1, d),
+        "testr.text_class.bias": g(cfg.voc_size + 1),
+    }
+    for prefix, dims in (
+        ("testr.ctrl_point_coord.0", (d, d, 2)),
+        ("testr.bbox_coord", (d, d, 4)),
+    ):
+        cin = d
+        for j, dout in enumerate(dims):
+            sd[f"{prefix}.layers.{j}.weight"] = g(dout, cin)
+            sd[f"{prefix}.layers.{j}.bias"] = g(dout)
+            cin = dout
+
+    in_ch = cfg.dit_dim * (cfg.num_dit_layers // cfg.num_feature_levels)
+    mid = 4 * d
+    for l in range(L):
+        fp = f"testr.diff_feat_proj.{l}"
+        sd[f"{fp}.proj.0.weight"] = g(mid, in_ch, 1, 1)
+        sd[f"{fp}.proj.0.bias"] = g(mid)
+        sd[f"{fp}.proj.1.weight"] = g(mid)
+        sd[f"{fp}.proj.1.bias"] = g(mid)
+        sd[f"{fp}.proj.3.weight"] = g(d, mid, 1, 1)
+        sd[f"{fp}.proj.3.bias"] = g(d)
+        sd[f"{fp}.proj.5.weight"] = g(d, d, 3, 3)
+        sd[f"{fp}.proj.5.bias"] = g(d)
+        sd[f"{fp}.proj.6.weight"] = g(d)
+        sd[f"{fp}.proj.6.bias"] = g(d)
+        sd[f"{fp}.shortcut.weight"] = g(d, in_ch, 1, 1)
+        sd[f"{fp}.shortcut.bias"] = g(d)
+
+    def msd(prefix, n_points):
+        sd[f"{prefix}.sampling_offsets.weight"] = g(M * L * n_points * 2, d)
+        sd[f"{prefix}.sampling_offsets.bias"] = g(M * L * n_points * 2)
+        sd[f"{prefix}.attention_weights.weight"] = g(M * L * n_points, d)
+        sd[f"{prefix}.attention_weights.bias"] = g(M * L * n_points)
+        sd[f"{prefix}.value_proj.weight"] = g(d, d)
+        sd[f"{prefix}.value_proj.bias"] = g(d)
+        sd[f"{prefix}.output_proj.weight"] = g(d, d)
+        sd[f"{prefix}.output_proj.bias"] = g(d)
+
+    def mha(prefix):
+        sd[f"{prefix}.in_proj_weight"] = g(3 * d, d)
+        sd[f"{prefix}.in_proj_bias"] = g(3 * d)
+        sd[f"{prefix}.out_proj.weight"] = g(d, d)
+        sd[f"{prefix}.out_proj.bias"] = g(d)
+
+    def ln(prefix):
+        sd[f"{prefix}.weight"] = g(d)
+        sd[f"{prefix}.bias"] = g(d)
+
+    def ffn(prefix, norm_name):
+        sd[f"{prefix}.linear1.weight"] = g(dff, d)
+        sd[f"{prefix}.linear1.bias"] = g(dff)
+        sd[f"{prefix}.linear2.weight"] = g(d, dff)
+        sd[f"{prefix}.linear2.bias"] = g(d)
+        ln(f"{prefix}.{norm_name}")
+
+    for i in range(cfg.num_encoder_layers):
+        ep = f"testr.transformer.encoder.layers.{i}"
+        msd(f"{ep}.self_attn", cfg.enc_n_points)
+        ln(f"{ep}.norm1")
+        ffn(ep, "norm2")
+    for i in range(cfg.num_decoder_layers):
+        dp = f"testr.transformer.decoder.layers.{i}"
+        for a in ("attn_intra", "attn_inter", "attn_intra_text", "attn_inter_text"):
+            mha(f"{dp}.{a}")
+        for a in ("attn_cross", "attn_cross_text"):
+            msd(f"{dp}.{a}", cfg.dec_n_points)
+        for nname in ("norm_intra", "norm_inter", "norm_cross",
+                      "norm_intra_text", "norm_inter_text", "norm_cross_text"):
+            ln(f"{dp}.{nname}")
+        ffn(dp, "norm3")
+        sd[f"{dp}.linear1_text.weight"] = g(dff, d)
+        sd[f"{dp}.linear1_text.bias"] = g(dff)
+        sd[f"{dp}.linear2_text.weight"] = g(d, dff)
+        sd[f"{dp}.linear2_text.bias"] = g(d)
+        ln(f"{dp}.norm3_text")
+    return sd
+
+
+def test_convert_testr_matches_init_tree():
+    import jax
+
+    from dit4sr_tpu.config import testr_tiny as make_cfg
+    from dit4sr_tpu.models.testr.detector import TextSpotter
+
+    cfg = make_cfg(num_feature_levels=4, num_dit_layers=4)
+    sd = _synthetic_testr_sd(cfg)
+    converted = W.convert_testr(sd, cfg)
+
+    spotter = TextSpotter(cfg, feat_hw=(8, 8))
+    feats = jnp.zeros((4, 1, 8, 8, cfg.dit_dim), jnp.float32)
+    ref = spotter.init(jax.random.PRNGKey(0), feats)
+    missing, unexpected = W.check_tree_matches(ref["params"], converted["params"])
+    assert missing == [], f"missing: {missing[:8]}"
+    assert unexpected == [], f"unexpected: {unexpected[:8]}"
+
+    out = spotter.model.apply(jax.tree.map(jnp.asarray, converted), feats)
+    assert np.isfinite(np.asarray(out.ctrl_points)).all()
