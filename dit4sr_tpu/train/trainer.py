@@ -193,6 +193,51 @@ class Trainer:
 
         return preprocess
 
+    # -- in-training validation ------------------------------------------------
+
+    def validate(
+        self,
+        state: TrainState,
+        vae_params,
+        val_samples,
+        encode_prompt_fn: Callable,
+        rng: jax.Array,
+        num_steps: int = 20,
+    ) -> Dict[str, float]:
+        """Run the full SR pipeline on validation LQ images and log metrics
+        (the reference invokes the whole pipeline inside training,
+        train_dit4sr.py:519-748). val_samples: list of dicts with
+        {lq (H,W,3) [0,1], gt optional, prompt, img_id}."""
+        from dit4sr_tpu.config import SamplerConfig
+        from dit4sr_tpu.eval.harness import Evaluator
+        from dit4sr_tpu.pipelines.sr_pipeline import SRPipeline
+
+        pipe = SRPipeline(
+            self.mmdit, self.vae, self.model_cfg, self.vae_cfg, self.sched_cfg,
+            SamplerConfig(num_inference_steps=num_steps, align_method="adain"),
+        )
+        fn = pipe.jit()
+        mmdit_params = (
+            state.params["mmdit"] if "mmdit" in state.params else state.params
+        )
+        params = {"mmdit": mmdit_params, "vae": vae_params}
+        evaluator = Evaluator()
+        records = []
+        for i, s in enumerate(val_samples):
+            text, pooled = encode_prompt_fn([s.get("prompt", "")])
+            pred = fn(params, jax.random.fold_in(rng, i), jnp.asarray(s["lq"][None]),
+                      text, pooled)
+            records.append(
+                evaluator.evaluate_sample(
+                    s.get("img_id", str(i)), np.asarray(pred[0]), s.get("gt")
+                )
+            )
+        from dit4sr_tpu.eval.harness import EvalResult
+
+        agg = EvalResult(records).aggregate()
+        self.logger.log(int(state.step), {f"val/{k}": v for k, v in agg.items()})
+        return agg
+
     # -- loop ----------------------------------------------------------------
 
     def fit(

@@ -122,3 +122,24 @@ def test_stage3_joint_training(tmp_path):
     assert "diff_loss" in keys
     assert "ocr_loss" in keys
     assert "total_loss" in keys
+
+
+def test_in_training_validation(tmp_path):
+    trainer, mcfg, vcfg, _ = _mk_trainer(tmp_path, "stage1", with_testr=False)
+    state = trainer.init_state(jax.random.PRNGKey(0), text_len=TEXT_LEN, latent_size=8)
+    vae = AutoencoderKL(vcfg)
+    vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, IMG, IMG, 3), vcfg.dtype))
+
+    rng = np.random.default_rng(0)
+    val_samples = [
+        {
+            "lq": rng.uniform(size=(32, 32, 3)).astype(np.float32),
+            "gt": rng.uniform(size=(32, 32, 3)).astype(np.float32),
+            "prompt": "text",
+            "img_id": "v0",
+        }
+    ]
+    agg = trainer.validate(
+        state, vparams, val_samples, _prompt_fn, jax.random.PRNGKey(2), num_steps=2
+    )
+    assert "full/psnr" in agg and np.isfinite(agg["full/psnr"])
