@@ -376,3 +376,48 @@ def test_convert_testr_matches_init_tree():
 
     out = spotter.model.apply(jax.tree.map(jnp.asarray, converted), feats)
     assert np.isfinite(np.asarray(out.ctrl_points)).all()
+
+
+def test_ocr_branch_init_surgery():
+    """lq_branch init copies control weights into the ocr branch
+    (transformer_sd3_ocrbranch_ocr2hq2ocr.py:438-524 equivalent)."""
+    from dit4sr_tpu.config import mmdit_tiny
+
+    cfg = mmdit_tiny(
+        streams=("hq", "control", "ocr"),
+        ffn_couplings=(("control", "hq"), ("ocr", "hq"), ("hq", "ocr")),
+    )
+    sd = _synthetic_mmdit_sd(cfg)
+    g = _rng_dict()
+    D = cfg.inner_dim
+    # give the control branch real (non-zero) weights in the checkpoint
+    for i in range(cfg.num_layers):
+        tp = f"transformer_blocks.{i}"
+        for a in (["attn", "attn2"] if i in cfg.dual_attention_layers else ["attn"]):
+            for p in ("q", "k", "v", "out"):
+                sd[f"{tp}.{a}.to_{p}_control.weight"] = g(D, D)
+                sd[f"{tp}.{a}.to_{p}_control.bias"] = g(D)
+
+    converted = W.convert_mmdit(sd, cfg, ocr_branch_init="lq_branch")
+    attn = converted["params"]["blocks_0"]["attn"]
+    np.testing.assert_array_equal(
+        attn["to_q_ocr"]["kernel"], attn["to_q_control"]["kernel"]
+    )
+    np.testing.assert_array_equal(
+        attn["to_out_ocr"]["bias"], attn["to_out_control"]["bias"]
+    )
+
+    # hq_branch init: ocr q/k/v stay zero (identity composition), out = base
+    converted2 = W.convert_mmdit(sd, cfg, ocr_branch_init="hq_branch")
+    attn2 = converted2["params"]["blocks_0"]["attn"]
+    assert np.abs(attn2["to_q_ocr"]["kernel"]).max() == 0
+    np.testing.assert_array_equal(
+        attn2["to_out_ocr"]["kernel"], attn2["to_out"]["kernel"]
+    )
+
+    # tree must match the 3-stream model init
+    from dit4sr_tpu.models.mmdit import init_mmdit
+
+    _, ref = init_mmdit(jax.random.PRNGKey(0), cfg, text_len=8)
+    missing, unexpected = W.check_tree_matches(ref["params"], converted["params"])
+    assert missing == [] and unexpected == [], (missing[:5], unexpected[:5])
