@@ -123,9 +123,24 @@ def make_train_step(
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng, ocr_targets
         )
-        metrics["grad_norm"] = optax.global_norm(grads)
+        gnorm = optax.global_norm(grads)
+        metrics["grad_norm"] = gnorm
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        # failure containment the reference lacks (SURVEY.md §5): a step with
+        # non-finite gradients is skipped instead of corrupting the params
+        finite = jnp.isfinite(gnorm)
+        metrics["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
+        params = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), params, state.params
+        )
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old)
+            if hasattr(new, "shape") and new.shape == getattr(old, "shape", None)
+            else new,
+            opt_state,
+            state.opt_state,
+        )
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return train_step
