@@ -61,3 +61,23 @@ def side_by_side(
         if i < len(images) - 1:
             panels.append(np.full((h, pad, 3), 255, np.uint8))
     return np.concatenate(panels, axis=1)
+
+
+def render_text_image(
+    lines, img_width: int = 1000, font_size: int = 16, padding: int = 10
+) -> np.ndarray:
+    """Render text lines to an RGB uint8 image (the reference's
+    text_file_to_image, train/train_utils.py:210-248)."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    if isinstance(lines, str):
+        lines = lines.splitlines() or [""]
+    font = ImageFont.load_default()
+    height = font_size * len(lines) + 2 * padding
+    img = Image.new("RGB", (img_width, height), color="white")
+    draw = ImageDraw.Draw(img)
+    y = padding
+    for line in lines:
+        draw.text((padding, y), line.strip(), fill="black", font=font)
+        y += font_size
+    return np.asarray(img)
