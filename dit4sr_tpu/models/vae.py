@@ -74,7 +74,9 @@ class ResnetBlock(nn.Module):
 
 
 class AttnBlock(nn.Module):
-    """Single-head spatial self-attention at the bottleneck."""
+    """Single-head spatial self-attention at the bottleneck. Routed through
+    ops.attention so the 64x64-latent case (4096 tokens) uses the Pallas
+    flash kernel on TPU instead of materializing 4096^2 fp32 logits."""
 
     num_groups: int
     dtype: Any = jnp.bfloat16
@@ -82,6 +84,8 @@ class AttnBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from dit4sr_tpu.ops.attention import attention
+
         b, h, w, c = x.shape
         y = GroupNorm(self.num_groups, self.param_dtype, name="group_norm")(x)
         y = y.reshape(b, h * w, c)
@@ -89,12 +93,8 @@ class AttnBlock(nn.Module):
             c, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
         q, k, v = dense("to_q")(y), dense("to_k")(y), dense("to_v")(y)
-        logits = jnp.einsum(
-            "bnc,bmc->bnm", q, k, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(jnp.float32(c))
-        attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        y = jnp.einsum("bnm,bmc->bnc", attn, v, preferred_element_type=jnp.float32)
-        y = dense("to_out")(y.astype(x.dtype))
+        out = attention(q[:, None], k[:, None], v[:, None])[:, 0]
+        y = dense("to_out")(out.astype(x.dtype))
         return x + y.reshape(b, h, w, c)
 
 
