@@ -12,7 +12,11 @@ import numpy as np
 
 
 def _to_u8(img: np.ndarray) -> np.ndarray:
-    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    # np.asarray(jnp_array) yields read-only buffers; cv2 draws in place,
+    # so always produce a fresh contiguous writable array
+    return np.ascontiguousarray(
+        (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+    )
 
 
 def draw_ocr_overlay(

@@ -28,11 +28,12 @@ def synthetic_lq(size: int, seed: int = 0) -> np.ndarray:
     rng = np.random.default_rng(seed)
     small = rng.uniform(size=(8, 8, 3)).astype(np.float32)
     img = cv2.resize(small, (size, size), interpolation=cv2.INTER_CUBIC).clip(0, 1)
+    u8 = (img * 255).astype(np.uint8)
     cv2.putText(
-        img, "STOP", (size // 8, size // 2), cv2.FONT_HERSHEY_SIMPLEX,
-        size / 128.0, (1.0, 1.0, 1.0), max(1, size // 64),
+        u8, "STOP", (size // 8, size // 2), cv2.FONT_HERSHEY_SIMPLEX,
+        size / 128.0, (255, 255, 255), max(1, size // 64),
     )
-    return img
+    return u8.astype(np.float32) / 255.0
 
 
 def main():
