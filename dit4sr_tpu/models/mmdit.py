@@ -194,7 +194,12 @@ _COUPLING_NAMES = {
 
 
 class DepthwiseConv(nn.Module):
-    """Zero-init depthwise 3x3 conv over the (h, w)-shaped token grid."""
+    """Zero-init depthwise 3x3 conv over the (h, w)-shaped token grid.
+
+    Implemented as a 9-tap shift-and-add instead of
+    lax.conv(feature_group_count=C): XLA lowers huge-group depthwise convs
+    through an iota/gather path; the explicit taps stay on the VPU and fuse
+    into a handful of elementwise passes."""
 
     channels: int
     dtype: Any = jnp.bfloat16
@@ -206,15 +211,14 @@ class DepthwiseConv(nn.Module):
             "kernel", _zeros, (3, 3, 1, self.channels), self.param_dtype
         )
         bias = self.param("bias", _zeros, (self.channels,), self.param_dtype)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(1, 1),
-            padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.channels,
-        )
-        return y + bias.astype(self.dtype)
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
+        h, w = x.shape[1], x.shape[2]
+        k = kernel.astype(self.dtype)
+        out = jnp.zeros_like(x, self.dtype)
+        for di in range(3):
+            for dj in range(3):
+                out = out + xp[:, di : di + h, dj : dj + w, :] * k[di, dj, 0]
+        return out + bias.astype(self.dtype)
 
 
 class StreamFFN(nn.Module):
