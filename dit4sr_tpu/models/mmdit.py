@@ -120,6 +120,7 @@ class JointAttention(nn.Module):
             vs.append(v)
 
         key_mask = None
+        valid_len = None
         if text_x is not None:
             tq = dense("add_q_proj")(text_x)
             tk = dense("add_k_proj")(text_x)
@@ -128,6 +129,21 @@ class JointAttention(nn.Module):
             if cfg.qk_norm == "rms_norm":
                 tq = RMSNorm(Dh, param_dtype=cfg.param_dtype, name="norm_added_q")(tq)
                 tk = RMSNorm(Dh, param_dtype=cfg.param_dtype, name="norm_added_k")(tk)
+            use_pallas = cfg.attn_impl == "pallas" or (
+                cfg.attn_impl == "auto" and jax.default_backend() != "cpu"
+            )
+            if text_mask is None and use_pallas and not cfg.capture_attention:
+                # align the joint sequence to the flash block size at the
+                # source: padding the small text q/k/v here is 3 tiny copies
+                # instead of 3 full (B,H,N,D) pads inside the kernel wrapper
+                total = S * n_img + tq.shape[2]
+                n_pad = (-total) % 256
+                if n_pad > 0:
+                    pad4 = ((0, 0), (0, 0), (0, n_pad), (0, 0))
+                    tq = jnp.pad(tq, pad4)
+                    tk = jnp.pad(tk, pad4)
+                    tv = jnp.pad(tv, pad4)
+                    valid_len = total
             qs.append(tq)
             ks.append(tk)
             vs.append(tv)
@@ -155,6 +171,11 @@ class JointAttention(nn.Module):
                 logits = jnp.where(
                     key_mask[:, None, None, :], logits, jnp.finfo(jnp.float32).min
                 )
+            if valid_len is not None:
+                col = jnp.arange(logits.shape[-1]) < valid_len
+                logits = jnp.where(
+                    col[None, None, None, :], logits, jnp.finfo(jnp.float32).min
+                )
             probs = jax.nn.softmax(logits, axis=-1)
             self.sow("intermediates", "attn_probs", probs)
             out = merge_heads(
@@ -165,10 +186,18 @@ class JointAttention(nn.Module):
             )
         else:
             out = merge_heads(
-                attention(q, k, v, key_mask=key_mask, impl=cfg.attn_impl)
+                attention(
+                    q, k, v, key_mask=key_mask, impl=cfg.attn_impl,
+                    valid_len=valid_len,
+                )
             )
 
-        img_out, text_out = out[:, : S * n_img], out[:, S * n_img :]
+        img_out = out[:, : S * n_img]
+        if text_x is not None:
+            # slice the true text length (drops any alignment padding)
+            text_out = out[:, S * n_img : S * n_img + text_x.shape[1]]
+        else:
+            text_out = out[:, S * n_img :]
         outs = jnp.split(img_out, S, axis=1)
 
         final = [to_out(outs[0])]

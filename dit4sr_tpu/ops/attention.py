@@ -55,6 +55,7 @@ def attention(
     v: jnp.ndarray,
     key_mask: Optional[jnp.ndarray] = None,
     impl: str = "auto",
+    valid_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """Dispatch between attention backends.
 
@@ -63,9 +64,15 @@ def attention(
       * "xla"     — einsum + fp32 softmax reference
       * "xla_dpa" — jax.nn.dot_product_attention (XLA fused path)
       * "pallas"  — custom Pallas flash kernel (ops/flash_attention.py)
+
+    `valid_len` statically masks trailing pad keys (callers that align N to
+    the flash block size themselves).
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+    if valid_len is not None and valid_len < q.shape[2] and impl != "pallas":
+        tail = jnp.arange(q.shape[2]) < valid_len
+        key_mask = tail[None] if key_mask is None else key_mask & tail[None]
     if impl == "pallas":
         if key_mask is None:
             from dit4sr_tpu.ops.flash_attention import flash_attention
@@ -80,11 +87,11 @@ def attention(
 
                 spec = P(("data", "fsdp"), "tensor", None, None)
                 return jax.shard_map(
-                    lambda q, k, v: flash_attention(q, k, v),
+                    lambda q, k, v: flash_attention(q, k, v, valid_len=valid_len),
                     mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
                     check_vma=False,  # pallas_call outputs carry no vma info
                 )(q, k, v)
-            return flash_attention(q, k, v)
+            return flash_attention(q, k, v, valid_len=valid_len)
         # the pallas kernel only supports static padding masks; runtime
         # masks (rare: test-only) take the XLA path
     if impl == "xla_dpa":

@@ -182,16 +182,21 @@ def flash_attention(
     v: jnp.ndarray,
     key_mask: Optional[jnp.ndarray] = None,
     block_q: int = 256,
+    valid_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """(B, H, N, D) attention. N is padded up to a block multiple internally
-    and the pad keys masked statically. A runtime `key_mask` is not supported
-    by this kernel — callers with dynamic masks use the XLA path."""
+    and the pad keys masked statically. Callers that already align N can pass
+    `valid_len` < N to mask their own trailing pad tokens WITHOUT the wrapper
+    re-padding (saves 3 full q/k/v copies). A runtime `key_mask` is not
+    supported by this kernel — callers with dynamic masks use the XLA path."""
     if key_mask is not None:
         raise NotImplementedError(
             "pallas flash attention uses static padding masks; pass "
             "key_mask=None (use attn_impl='xla' for runtime masks)"
         )
     B, H, N, D = q.shape
+    if valid_len is None:
+        valid_len = N
     n_pad = (-N) % block_q
     if n_pad > 0:
         pad4 = ((0, 0), (0, 0), (0, n_pad), (0, 0))
@@ -204,6 +209,6 @@ def flash_attention(
     k_g = k.reshape(B * H, Np, D)
     v_g = v.reshape(B * H, Np, D)
 
-    out = _flash(q_g, k_g, v_g, block_q, N)
+    out = _flash(q_g, k_g, v_g, block_q, valid_len)
     out = out.reshape(B, H, Np, D)
     return out[:, :, :N] if n_pad > 0 else out

@@ -86,3 +86,13 @@ def test_runtime_mask_rejected():
     q, k, v = _qkv(N=128)
     with pytest.raises(NotImplementedError):
         fa.flash_attention(q, k, v, key_mask=jnp.ones((1, 128), bool))
+
+
+def test_caller_aligned_valid_len():
+    """Pre-aligned N + valid_len must equal attention over the valid prefix."""
+    q, k, v = _qkv(N=512)
+    out = fa.flash_attention(q, k, v, block_q=128, valid_len=300)
+    ref = mha_reference(q[:, :, :300], k[:, :, :300], v[:, :, :300])
+    np.testing.assert_allclose(
+        np.asarray(out[:, :, :300]), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
