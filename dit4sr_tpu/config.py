@@ -246,6 +246,13 @@ class TESTRConfig:
     max_instances: int = 32
     dtype: Any = jnp.float32          # fp32: deformable attn is precision-sensitive
     param_dtype: Any = jnp.float32
+    # remat encoder/decoder layers: required for batch>=2 backward on the
+    # axon TPU runtime (full-graph backward crashes the remote compiler)
+    # and cheap — TESTR is small next to the MMDiT
+    remat: bool = True
+    # "auto" matcher: exact host Hungarian on CPU, on-device auction on TPU
+    # (axon does not support host callbacks)
+    matcher_impl: str = "auto"
 
     def with_(self, **kw) -> "TESTRConfig":
         return dataclasses.replace(self, **kw)

@@ -97,7 +97,7 @@ def criterion(
             a, g,
         )
         cost = jax.lax.stop_gradient(cost)
-        match = solve_assignment(cost, targets.valid)  # (B, I)
+        match = solve_assignment(cost, targets.valid, cfg.matcher_impl)  # (B, I)
 
         loss_ce = _label_loss(logits, match, valid, num_inst, a, g)
 
@@ -129,7 +129,7 @@ def criterion(
         cfg.box_class_weight, cfg.box_coord_weight, cfg.giou_weight, a, g,
     )
     enc_cost = jax.lax.stop_gradient(enc_cost)
-    enc_match = solve_assignment(enc_cost, targets.valid)
+    enc_match = solve_assignment(enc_cost, targets.valid, cfg.matcher_impl)
 
     loss_ce_enc = _label_loss(out.enc_logits, enc_match, valid, num_inst, a, g)
     pred_boxes = _gather_queries(out.enc_boxes, enc_match)  # (B, I, 4)

@@ -52,8 +52,24 @@ def _lsa_host(cost: np.ndarray, valid: np.ndarray) -> np.ndarray:
     return out
 
 
-def solve_assignment(cost: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Device -> host -> device LSA. cost (B, Q, I) fp32, valid (B, I)."""
+def solve_assignment(
+    cost: jnp.ndarray, valid: jnp.ndarray, method: str = "auto"
+) -> jnp.ndarray:
+    """Minimum-cost assignment of each valid target to a distinct query.
+
+    cost (B, Q, I) fp32, valid (B, I) -> (B, I) matched query idx (-1 pad).
+
+    method:
+      * "host"    — exact Hungarian on host via pure_callback (C++/scipy)
+      * "auction" — on-device epsilon-optimal auction algorithm (pure JAX);
+        required on platforms without host-callback support (the axon TPU
+        runtime rejects pure_callback)
+      * "auto"    — host on CPU, auction elsewhere
+    """
+    if method == "auto":
+        method = "host" if jax.default_backend() == "cpu" else "auction"
+    if method == "auction":
+        return auction_assignment(cost, valid)
     B, _, I = cost.shape
     return jax.pure_callback(
         _lsa_host,
@@ -62,6 +78,76 @@ def solve_assignment(cost: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         valid,
         vmap_method="sequential",
     )
+
+
+def auction_assignment(
+    cost: jnp.ndarray,
+    valid: jnp.ndarray,
+    eps: float = 1e-3,
+    max_iters: int = 400,
+) -> jnp.ndarray:
+    """Bertsekas auction algorithm, fully on device.
+
+    Jacobi bidding rounds under `lax.while_loop`; with bid increment
+    (best - second_best + eps) the final assignment cost is within
+    n_targets * eps of optimal — negligible against the O(1) focal/L1
+    matching costs. Q >= I guarantees termination.
+    """
+    B, Q, I = cost.shape
+    v = -cost.transpose(0, 2, 1).astype(jnp.float32)        # (B, I, Q) value
+    valid_f = valid
+
+    def cond(state):
+        prices, owner, it = state
+        tgt_q = _owner_to_tgt(owner, I)
+        unassigned = (tgt_q < 0) & valid_f
+        return jnp.logical_and(it < max_iters, jnp.any(unassigned))
+
+    def body(state):
+        prices, owner, it = state                            # (B,Q), (B,Q)int
+        tgt_q = _owner_to_tgt(owner, I)                      # (B, I)
+        unassigned = (tgt_q < 0) & valid_f                   # (B, I)
+
+        net = v - prices[:, None, :]                         # (B, I, Q)
+        best_q = jnp.argmax(net, axis=-1)                    # (B, I)
+        best_v = jnp.max(net, axis=-1)
+        # second-best value
+        masked = jnp.where(
+            jax.nn.one_hot(best_q, Q, dtype=bool), -jnp.inf, net
+        )
+        second_v = jnp.max(masked, axis=-1)
+        second_v = jnp.where(jnp.isfinite(second_v), second_v, best_v - 1.0)
+        incr = best_v - second_v + eps                       # (B, I)
+
+        bid_price = jnp.take_along_axis(prices, best_q, axis=1) + incr
+        bids = jnp.where(
+            unassigned[:, :, None] & jax.nn.one_hot(best_q, Q, dtype=bool),
+            bid_price[:, :, None],
+            -jnp.inf,
+        )                                                     # (B, I, Q)
+        best_bid = jnp.max(bids, axis=1)                      # (B, Q)
+        best_bidder = jnp.argmax(bids, axis=1)                # (B, Q)
+        got_bid = jnp.isfinite(best_bid)
+
+        prices = jnp.where(got_bid, best_bid, prices)
+        owner = jnp.where(got_bid, best_bidder, owner)
+        return prices, owner, it + 1
+
+    prices0 = jnp.zeros((B, Q), jnp.float32)
+    owner0 = jnp.full((B, Q), -1, jnp.int32)
+    _, owner, _ = jax.lax.while_loop(cond, body, (prices0, owner0, jnp.int32(0)))
+    tgt_q = _owner_to_tgt(owner, I)
+    return jnp.where(valid_f, tgt_q, -1).astype(jnp.int32)
+
+
+def _owner_to_tgt(owner: jnp.ndarray, I: int) -> jnp.ndarray:
+    """owner (B, Q) target-index-or--1 -> per-target query idx (B, I), -1 if
+    unassigned (ownership is injective)."""
+    B, Q = owner.shape
+    is_owner = owner[:, :, None] == jnp.arange(I)[None, None, :]  # (B, Q, I)
+    any_owner = jnp.any(is_owner, axis=1)
+    q_idx = jnp.argmax(is_owner, axis=1)
+    return jnp.where(any_owner, q_idx, -1).astype(jnp.int32)
 
 
 def _focal_cost(prob: jnp.ndarray, alpha: float, gamma: float):

@@ -380,9 +380,10 @@ class TESTR(nn.Module):
             ref_points[None, :, None, :], (B, ref_points.shape[0], nlev, 2)
         )
 
+        enc_cls = nn.remat(EncoderLayer) if cfg.remat else EncoderLayer
         memory = src_flat
         for i in range(cfg.num_encoder_layers):
-            memory = EncoderLayer(cfg, shapes, name=f"encoder_{i}")(
+            memory = enc_cls(cfg, shapes, name=f"encoder_{i}")(
                 memory, pos_flat, ref_points
             )
 
@@ -463,9 +464,10 @@ class TESTR(nn.Module):
             reference_points[:, :, None], nlev, axis=2
         )  # (B, K, L, 4); valid ratios = 1
 
+        dec_cls = nn.remat(CompositeDecoderLayer) if cfg.remat else CompositeDecoderLayer
         logits_layers, coords_layers, text_layers = [], [], []
         for i in range(cfg.num_decoder_layers):
-            tgt, tgt_text = CompositeDecoderLayer(
+            tgt, tgt_text = dec_cls(
                 cfg, shapes, name=f"decoder_{i}"
             )(tgt, qpos, tgt_text, tpos, ref_broadcast, memory)
             ref_inv = inverse_sigmoid(reference_points)       # (B, K, 4)

@@ -146,3 +146,33 @@ def test_fuse_dit_features_layout():
     np.testing.assert_array_equal(
         np.asarray(out), np.transpose(ref, (0, 1, 3, 4, 2))
     )
+
+
+def test_auction_assignment_near_optimal():
+    """On-device auction must be within n*eps of the exact Hungarian cost
+    (needed on TPU runtimes without host callbacks)."""
+    from scipy.optimize import linear_sum_assignment
+
+    from dit4sr_tpu.models.testr.matcher import auction_assignment
+
+    rng = np.random.default_rng(0)
+    for trial in range(10):
+        B, Q, I = 2, 30, 8
+        cost = rng.normal(size=(B, Q, I)).astype(np.float32) * 3
+        valid = np.ones((B, I), bool)
+        valid[1, 5:] = False
+        match = np.asarray(
+            auction_assignment(jnp.asarray(cost), jnp.asarray(valid), eps=1e-3)
+        )
+        for b in range(B):
+            n = int(valid[b].sum())
+            # injective over valid targets
+            qs = match[b, :n]
+            assert (qs >= 0).all()
+            assert len(set(qs.tolist())) == n
+            got_cost = cost[b][qs, np.arange(n)].sum()
+            r, c = linear_sum_assignment(cost[b][:, :n])
+            opt = cost[b][r, c].sum()
+            assert got_cost <= opt + n * 1e-3 + 1e-4, (trial, b, got_cost, opt)
+            # padded slots stay -1
+            assert (match[b, n:] == -1).all()
