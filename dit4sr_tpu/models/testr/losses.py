@@ -87,17 +87,45 @@ def criterion(
     total = 0.0
 
     n_layers = out.ctrl_logits.shape[0]
+
+    # ---- solve ALL matchings (per decoder layer + encoder) in ONE stacked
+    # assignment call: sequential auction while_loops dominate the loss cost
+    # on TPU (~10 s for 7 matchers); stacking them on the batch axis runs one
+    # loop. Padded query rows get a huge cost so they are never selected.
+    dec_costs = [
+        jax.lax.stop_gradient(
+            ctrl_point_cost(
+                out.ctrl_logits[l], out.ctrl_points[l], targets,
+                cfg.point_class_weight, cfg.point_coord_weight, a, g,
+            )
+        )
+        for l in range(n_layers)
+    ]
+    enc_cost = jax.lax.stop_gradient(
+        box_cost(
+            out.enc_logits, out.enc_boxes, targets,
+            cfg.box_class_weight, cfg.box_coord_weight, cfg.giou_weight, a, g,
+        )
+    )
+    q_max = max(max(c.shape[1] for c in dec_costs), enc_cost.shape[1])
+
+    def pad_q(c):
+        return jnp.pad(
+            c, ((0, 0), (0, q_max - c.shape[1]), (0, 0)), constant_values=1e9
+        )
+
+    all_costs = jnp.concatenate([pad_q(c) for c in dec_costs + [enc_cost]], axis=0)
+    all_valid = jnp.tile(targets.valid, (n_layers + 1, 1))
+    all_matches = solve_assignment(all_costs, all_valid, cfg.matcher_impl)
+    B = targets.valid.shape[0]
+    dec_matches = [all_matches[l * B : (l + 1) * B] for l in range(n_layers)]
+    enc_match = all_matches[n_layers * B :]
+
     for l in range(n_layers):
         logits = out.ctrl_logits[l]
         points = out.ctrl_points[l]
         texts = out.text_logits[l]
-
-        cost = ctrl_point_cost(
-            logits, points, targets, cfg.point_class_weight, cfg.point_coord_weight,
-            a, g,
-        )
-        cost = jax.lax.stop_gradient(cost)
-        match = solve_assignment(cost, targets.valid, cfg.matcher_impl)  # (B, I)
+        match = dec_matches[l]  # (B, I)
 
         loss_ce = _label_loss(logits, match, valid, num_inst, a, g)
 
@@ -123,14 +151,7 @@ def criterion(
             + losses[f"loss_texts{suffix}"]
         )
 
-    # encoder (two-stage proposal) losses
-    enc_cost = box_cost(
-        out.enc_logits, out.enc_boxes, targets,
-        cfg.box_class_weight, cfg.box_coord_weight, cfg.giou_weight, a, g,
-    )
-    enc_cost = jax.lax.stop_gradient(enc_cost)
-    enc_match = solve_assignment(enc_cost, targets.valid, cfg.matcher_impl)
-
+    # encoder (two-stage proposal) losses — enc_match from the stacked solve
     loss_ce_enc = _label_loss(out.enc_logits, enc_match, valid, num_inst, a, g)
     pred_boxes = _gather_queries(out.enc_boxes, enc_match)  # (B, I, 4)
     l1 = jnp.abs(pred_boxes - targets.boxes).sum(-1)
