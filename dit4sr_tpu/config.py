@@ -288,8 +288,18 @@ class OptimConfig:
     betas: Tuple[float, float] = (0.9, 0.999)
     eps: float = 1e-8
     max_grad_norm: float = 1.0
+    # the diffusers get_scheduler family (train_dit4sr.py:95): constant |
+    # constant_with_warmup | linear | cosine | cosine_with_restarts |
+    # polynomial
     lr_scheduler: str = "constant"
     lr_warmup_steps: int = 0
+    lr_num_cycles: int = 1          # cosine_with_restarts
+    lr_power: float = 1.0           # polynomial
+    lr_end: float = 1e-7            # polynomial floor
+    # reference offers AdamW8bit via bitsandbytes (initialize.py:563-590);
+    # here "adamw" (fp32 state) or "adamw_bf16" (bf16 1st/2nd moments — the
+    # TPU-native low-memory equivalent)
+    optimizer: str = "adamw"
 
 
 @dataclass(frozen=True)
@@ -350,17 +360,71 @@ class MeshConfig:
 # ---------------------------------------------------------------------------
 
 
+_DTYPE_NAMES = {
+    "float32": jnp.float32,
+    "fp32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "bf16": jnp.bfloat16,
+    "float16": jnp.float16,
+    "fp16": jnp.float16,
+}
+
+
+def _coerce(v, tp):
+    """Coerce a YAML value to the annotated field type. Handles the two YAML
+    footguns: string annotations (PEP 563 makes `f.type` a *string*, so type
+    checks need `typing.get_type_hints`) and numeric strings (`5e-5` without
+    a dot parses as a string under YAML 1.1)."""
+    import typing
+
+    if tp is None:
+        return tuple(v) if isinstance(v, list) else v
+    if dataclasses.is_dataclass(tp) and isinstance(v, Mapping):
+        return _build(tp, v)
+
+    origin = typing.get_origin(tp)
+    args = typing.get_args(tp)
+    if origin is typing.Union:  # Optional[X] and friends
+        if v is None:
+            return None
+        for a in args:
+            if a is not type(None):
+                return _coerce(v, a)
+        return v
+    if isinstance(v, (list, tuple)):
+        if origin is tuple and args:
+            if len(args) == 2 and args[-1] is Ellipsis:
+                return tuple(_coerce(x, args[0]) for x in v)
+            if len(args) == len(v):
+                return tuple(_coerce(x, a) for x, a in zip(v, args))
+        return tuple(tuple(x) if isinstance(x, list) else x for x in v)
+    if tp is Any:
+        if isinstance(v, str) and v in _DTYPE_NAMES:
+            return _DTYPE_NAMES[v]
+        return v
+    try:
+        if tp is float and isinstance(v, (str, int)):
+            return float(v)
+        if tp is int and not isinstance(v, bool):
+            iv = int(float(v)) if isinstance(v, str) else int(v)
+            if float(iv) == float(v):
+                return iv
+        if tp is bool and isinstance(v, str):
+            return v.strip().lower() in ("1", "true", "yes", "on")
+    except (TypeError, ValueError):
+        pass
+    return v
+
+
 def _build(cls, data: Mapping[str, Any]):
+    import typing
+
+    hints = typing.get_type_hints(cls)
     kw = {}
     for f in dataclasses.fields(cls):
         if f.name not in data:
             continue
-        v = data[f.name]
-        if dataclasses.is_dataclass(f.type) and isinstance(v, Mapping):
-            v = _build(f.type, v)
-        elif isinstance(v, list):
-            v = tuple(tuple(x) if isinstance(x, list) else x for x in v)
-        kw[f.name] = v
+        kw[f.name] = _coerce(data[f.name], hints.get(f.name))
     return cls(**kw)
 
 

@@ -129,7 +129,9 @@ class SATextDataset:
 
     def __getitem__(self, idx: int) -> Dict:
         rec = self.records[idx]
-        img = self._read_image(rec["img_path"])
+        img = (
+            rec["image"] if "image" in rec else self._read_image(rec["img_path"])
+        )
         h, w = img.shape[:2]
         if (h, w) != (self.crop_size, self.crop_size):
             import cv2
@@ -192,3 +194,45 @@ class SATextDataset:
                 items = [self[int(j)] for j in order[i : i + batch_size]]
                 yield self.collate(items, testr_cfg)
             epoch += 1
+
+
+def make_synthetic_records(
+    n: int,
+    num_instances: int = 3,
+    image_size: int = 512,
+    num_ctrl_points: int = 16,
+    seed: int = 0,
+) -> List[Dict]:
+    """In-memory synthetic SAMText-like records (random images + random text
+    instances) for smoke tests and trainer rehearsals without data assets."""
+    rng = np.random.default_rng(seed)
+    words = ["OPEN", "SALE", "EXIT", "CAFE", "STOP", "taxi", "Hotel", "parking"]
+    records = []
+    for i in range(n):
+        texts = [words[int(rng.integers(len(words)))] for _ in range(num_instances)]
+        encs = np.stack([np.asarray(charset.encode(t), np.int32) for t in texts])
+        cxy = rng.uniform(0.2, 0.8, (num_instances, 2))
+        wh = rng.uniform(0.05, 0.2, (num_instances, 2))
+        boxes = np.concatenate([cxy, wh], -1).astype(np.float32)
+        polys = np.clip(
+            cxy[:, None, :]
+            + rng.uniform(-0.5, 0.5, (num_instances, num_ctrl_points, 2))
+            * wh[:, None, :],
+            0.0,
+            1.0,
+        ).astype(np.float32)
+        records.append(
+            {
+                "img_path": f"<synthetic-{i}>",
+                "img_id": f"synthetic_{i:04d}",
+                "image": rng.uniform(0, 1, (image_size, image_size, 3)).astype(
+                    np.float32
+                ),
+                "text": texts,
+                "text_enc": encs,
+                "bbox": boxes,
+                "poly": polys,
+                "hq_prompt": None,
+            }
+        )
+    return records

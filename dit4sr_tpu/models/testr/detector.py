@@ -38,10 +38,22 @@ class TextSpotter:
         return self.model.init(rng, feats)
 
     def loss(
-        self, params, feats: jnp.ndarray, targets: OCRTargets
+        self,
+        params,
+        feats: jnp.ndarray,
+        targets: OCRTargets,
+        rng: Optional[jax.Array] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-        """feats: stacked NHWC DiT features (Lext, B, H, W, C), fp32."""
-        out = self.model.apply(params, feats.astype(self.cfg.dtype))
+        """feats: stacked NHWC DiT features (Lext, B, H, W, C), fp32.
+        With `rng`, dropout is active (training; reference trains the
+        deformable transformer with dropout 0.1 throughout)."""
+        if rng is not None and self.cfg.dropout > 0:
+            out = self.model.apply(
+                params, feats.astype(self.cfg.dtype), deterministic=False,
+                rngs={"dropout": rng},
+            )
+        else:
+            out = self.model.apply(params, feats.astype(self.cfg.dtype))
         return criterion(self.cfg, out, targets)
 
     def predict(
@@ -88,8 +100,12 @@ def pad_targets(
             continue
         labels[b, :n] = t["labels"][:n]
         boxes[b, :n] = t["boxes"][:n]
-        pts[b, :n] = t["ctrl_points"][:n]
-        texts[b, :n] = t["texts"][:n]
+        # slice/pad to the config's static point/word lengths (the dataset
+        # encodes words at charset.MAX_WORD_LEN, which may differ)
+        p = min(t["ctrl_points"].shape[1], Np)
+        pts[b, :n, :p] = t["ctrl_points"][:n, :p]
+        w = min(t["texts"].shape[1], Nw)
+        texts[b, :n, :w] = t["texts"][:n, :w]
         valid[b, :n] = True
     return OCRTargets(
         jnp.asarray(labels), jnp.asarray(boxes), jnp.asarray(pts),

@@ -1,7 +1,12 @@
 """Training entry point: python scripts/train.py --config configs/train_stage3.yaml
 
 Rebuild of train/train_dit4sr.py's CLI (the accelerate launcher disappears:
-data parallelism comes from the jax mesh, not process spawning)."""
+data parallelism comes from the jax mesh, not process spawning). Real weight
+assets flow through --sd3_ckpt/--mmdit_ckpt/--vae_ckpt/--testr_ckpt and the
+tested converters (utils/weights.py); absent assets fall back to random init
+with a loud banner. `--smoke` runs 2 tiny-geometry steps on synthetic data —
+the CI proof that the shipped YAMLs drive this CLI end to end.
+"""
 
 from __future__ import annotations
 
@@ -12,6 +17,15 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# the axon sitecustomize pins jax_platforms; honor an explicit env override
+# (env var alone is ignored after sitecustomize runs — see CLAUDE.md)
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 import jax.numpy as jnp
 import yaml
 
@@ -20,21 +34,44 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--out_dir", default=None)
-    ap.add_argument("--mmdit_ckpt", default=None, help="diffusers safetensors dir")
+    ap.add_argument("--sd3_ckpt", default=None,
+                    help="SD3.5 diffusers root (transformer+vae+text encoders+tokenizers)")
+    ap.add_argument("--mmdit_ckpt", default=None,
+                    help="transformer dir/safetensors (overrides --sd3_ckpt)")
+    ap.add_argument("--vae_ckpt", default=None,
+                    help="vae dir/safetensors (overrides --sd3_ckpt)")
+    ap.add_argument("--testr_ckpt", default=None, help="TESTR .pt/.safetensors")
+    ap.add_argument("--text_ckpt", default=None,
+                    help="root with text_encoder{,_2,_3} + tokenizers (overrides --sd3_ckpt)")
     ap.add_argument("--num_steps", type=int, default=None)
     ap.add_argument("--wandb", action="store_true")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny geometry + synthetic data, 2 steps")
     args = ap.parse_args()
 
+    from dit4sr_tpu.bootstrap import (
+        banner,
+        build_mmdit,
+        build_prompt_encoder,
+        build_testr,
+        build_vae,
+    )
     from dit4sr_tpu.config import (
         MMDiTConfig,
         SchedulerConfig,
         TESTRConfig,
         VAEConfig,
         load_yaml_config,
+        mmdit_tiny,
+        testr_tiny,
+        vae_tiny,
     )
-    from dit4sr_tpu.data.satext import SATextDataset, load_samtext_annotations
-    from dit4sr_tpu.models.vae import AutoencoderKL
-    from dit4sr_tpu.text.encoders import HashTextEncoder
+    from dit4sr_tpu.data.satext import (
+        SATextDataset,
+        load_samtext_annotations,
+        make_synthetic_records,
+    )
+    from dit4sr_tpu.train.ocr_loss import num_streams_extracted
     from dit4sr_tpu.train.trainer import Trainer
 
     cfgs = load_yaml_config(args.config)
@@ -44,9 +81,46 @@ def main():
     model_cfg = cfgs.get("model", MMDiTConfig())
     vae_cfg = cfgs.get("vae", VAEConfig())
     train_cfg = cfgs["train"]
-    testr_cfg = cfgs.get("testr") if train_cfg.stage in ("stage2", "stage3") else None
+    testr_cfg = cfgs.get("testr")
     if testr_cfg is None and train_cfg.stage in ("stage2", "stage3"):
         testr_cfg = TESTRConfig()
+    if train_cfg.stage == "stage1":
+        testr_cfg = None
+
+    crop_size, latent_size, text_len = 512, 64, 154
+    num_steps = args.num_steps
+    if args.smoke:
+        # tiny geometry, same structure: proves the CLI path, not the model
+        feat_layers = (
+            (0, 1) if model_cfg.feat_extract_layers else ()
+        )
+        vae_cfg = vae_tiny()
+        model_cfg = mmdit_tiny(
+            feat_extract=model_cfg.feat_extract,
+            feat_extract_layers=feat_layers,
+            streams=model_cfg.streams,
+            ffn_couplings=model_cfg.ffn_couplings,
+            in_channels=vae_cfg.latent_channels,
+            out_channels=vae_cfg.latent_channels,
+        )
+        if testr_cfg is not None:
+            testr_cfg = testr_tiny(
+                num_dit_layers=len(feat_layers) or 2,
+                num_feature_levels=min(4, len(feat_layers) or 2),
+                dit_dim=model_cfg.inner_dim,
+                feat_extract=model_cfg.feat_extract,
+            )
+        import dataclasses
+
+        train_cfg = dataclasses.replace(
+            train_cfg,
+            batch_size=2,
+            gradient_accumulation_steps=1,
+            checkpointing_steps=2,
+        )
+        crop_size, latent_size, text_len = 64, 16, 16
+        num_steps = num_steps or 2
+
     out_dir = args.out_dir or os.path.join(
         "runs", os.path.splitext(os.path.basename(args.config))[0]
     )
@@ -59,39 +133,75 @@ def main():
 
     # data
     data = raw.get("data", {})
-    records = load_samtext_annotations(data["ann_path"], data["hq_img_path"])
+    if args.smoke:
+        records = make_synthetic_records(
+            8, image_size=crop_size,
+            num_ctrl_points=testr_cfg.num_ctrl_points if testr_cfg else 16,
+        )
+    else:
+        records = load_samtext_annotations(data["ann_path"], data["hq_img_path"])
     dataset = SATextDataset(
         records,
         null_text_ratio=train_cfg.null_text_ratio,
         caption_style=data.get("caption_style", "descriptive"),
+        crop_size=crop_size,
         seed=train_cfg.seed,
     )
     batches = dataset.iter_batches(train_cfg.batch_size, testr_cfg)
 
-    # params
-    mmdit_params = None
-    if args.mmdit_ckpt:
-        from dit4sr_tpu.utils.weights import convert_mmdit, load_safetensors
+    # models + weights (initialize.py:304-457 equivalent)
+    rng = jax.random.PRNGKey(train_cfg.seed)
+    mmdit_ckpt = args.mmdit_ckpt or args.sd3_ckpt
+    _, mmdit_params, mmdit_loaded = build_mmdit(
+        model_cfg, rng, None if args.smoke else mmdit_ckpt, text_len=text_len
+    )
+    vae, vae_params, vae_loaded = build_vae(
+        vae_cfg, jax.random.fold_in(rng, 1),
+        None if args.smoke else (args.vae_ckpt or args.sd3_ckpt),
+    )
+    trainer.vae = vae  # ensure the trainer uses the same module definition
 
-        sd = load_safetensors(
-            os.path.join(args.mmdit_ckpt, "diffusion_pytorch_model.safetensors")
+    testr_params = None
+    if testr_cfg is not None and args.testr_ckpt and not args.smoke:
+        n_ext = num_streams_extracted(model_cfg)
+        c = model_cfg.inner_dim // (model_cfg.patch_size ** 2) * n_ext
+        feats_shape = (
+            len(model_cfg.feat_extract_layers), 1,
+            latent_size, latent_size, c,
         )
-        mmdit_params = jax.tree.map(jnp.asarray, convert_mmdit(sd, model_cfg))
+        _, testr_params, _ = build_testr(
+            testr_cfg, jax.random.fold_in(rng, 2), feats_shape,
+            args.testr_ckpt, feat_hw=(latent_size, latent_size),
+        )
 
-    state = trainer.init_state(jax.random.PRNGKey(train_cfg.seed), mmdit_params)
+    encoder, text_loaded = build_prompt_encoder(
+        None if args.smoke else (args.text_ckpt or args.sd3_ckpt), t5_length=77
+    )
+    if args.smoke:
+        from dit4sr_tpu.text.encoders import HashTextEncoder
 
-    vae = AutoencoderKL(vae_cfg)
-    vae_params = jax.jit(
-        lambda: vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3), vae_cfg.dtype))
-    )()
-    # TODO: load real VAE weights via utils.weights.convert_vae when present
+        encoder = HashTextEncoder(seq_len=text_len,
+                                  joint_dim=model_cfg.joint_attention_dim,
+                                  pooled_dim=model_cfg.pooled_projection_dim)
+    if not (mmdit_loaded and vae_loaded and text_loaded) and not args.smoke:
+        banner(
+            "TRAINING WITH RANDOM/FALLBACK WEIGHTS for: "
+            + ", ".join(
+                n for n, ok in [
+                    ("mmdit", mmdit_loaded), ("vae", vae_loaded),
+                    ("text", text_loaded),
+                ] if not ok
+            )
+            + " — pass --sd3_ckpt (and --testr_ckpt) for a real run"
+        )
 
-    # text encoding: on-device encoders when weights exist, hash fallback
-    encoder = HashTextEncoder(seq_len=154)
-
+    state = trainer.init_state(
+        rng, mmdit_params, testr_params,
+        latent_size=latent_size, text_len=text_len,
+    )
     state = trainer.fit(
         state, batches, vae_params, encoder,
-        jax.random.PRNGKey(train_cfg.seed + 1), num_steps=args.num_steps,
+        jax.random.PRNGKey(train_cfg.seed + 1), num_steps=num_steps,
     )
     print(f"finished at step {int(state.step)}; artifacts in {out_dir}")
 

@@ -23,6 +23,40 @@ def test_shipped_configs_load(path):
         assert cfgs["model"].streams[0] == "hq"
     if "train" in cfgs:
         assert isinstance(cfgs["train"], TrainConfig)
+        # nested dataclass must be built (PEP 563 made f.type a string and
+        # silently left `optim:` a raw dict in round 1)
+        from dit4sr_tpu.config import OptimConfig
+
+        assert isinstance(cfgs["train"].optim, OptimConfig)
+        assert isinstance(cfgs["train"].optim.lr, float)
+        assert cfgs["train"].optim.lr > 0
+
+
+def test_yaml_numeric_string_coercion(tmp_path):
+    """YAML 1.1 parses `5e-5` (no dot) as a *string*; the loader must coerce."""
+    p = tmp_path / "exp.yaml"
+    p.write_text(
+        "train:\n"
+        "  stage: stage1\n"
+        "  batch_size: '8'\n"
+        "  optim:\n"
+        "    lr: 5e-5\n"
+        "    betas: [0.9, 0.999]\n"
+        "    max_grad_norm: '1.0'\n"
+        "model:\n"
+        "  dtype: bfloat16\n"
+        "  dual_attention_layers: [0, 1]\n"
+    )
+    cfgs = load_yaml_config(str(p))
+    t = cfgs["train"]
+    assert t.optim.lr == 5e-5 and isinstance(t.optim.lr, float)
+    assert t.optim.max_grad_norm == 1.0
+    assert t.optim.betas == (0.9, 0.999)
+    assert t.batch_size == 8 and isinstance(t.batch_size, int)
+    import jax.numpy as jnp
+
+    assert cfgs["model"].dtype == jnp.bfloat16
+    assert cfgs["model"].dual_attention_layers == (0, 1)
 
 
 def test_variant_presets():
