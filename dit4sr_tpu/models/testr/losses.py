@@ -54,7 +54,7 @@ def _gather_queries(pred: jnp.ndarray, match: jnp.ndarray) -> jnp.ndarray:
 def _label_loss(
     logits: jnp.ndarray,       # (B, Q, 1) or (B, Q, Np, 1)
     match: jnp.ndarray,        # (B, I) matched query per target (-1 invalid)
-    valid: jnp.ndarray,        # (B, I)
+    matched: jnp.ndarray,      # (B, I) float: valid AND actually matched
     num_inst: jnp.ndarray,
     alpha: float,
     gamma: float,
@@ -62,7 +62,7 @@ def _label_loss(
     """Focal classification loss with the reference's normalization
     (losses.py:70-95): mean over non-batch dims, sum, *Q, /num_inst."""
     B, Q = logits.shape[:2]
-    onehot_q = jax.nn.one_hot(jnp.clip(match, 0, None), Q) * valid[..., None]
+    onehot_q = jax.nn.one_hot(jnp.clip(match, 0, None), Q) * matched[..., None]
     target_q = jnp.clip(onehot_q.sum(axis=1), 0.0, 1.0)  # (B, Q)
     target = jnp.broadcast_to(
         target_q.reshape(B, Q, *(1,) * (logits.ndim - 2)), logits.shape
@@ -126,19 +126,22 @@ def criterion(
         points = out.ctrl_points[l]
         texts = out.text_logits[l]
         match = dec_matches[l]  # (B, I)
+        # drop targets the auction left unmatched (match == -1 when
+        # max_iters is hit) instead of clamping them onto query 0
+        matched = ((match >= 0).astype(jnp.float32)) * valid
 
-        loss_ce = _label_loss(logits, match, valid, num_inst, a, g)
+        loss_ce = _label_loss(logits, match, matched, num_inst, a, g)
 
         pred_pts = _gather_queries(points, match)      # (B, I, Np, 2)
         l1 = jnp.abs(pred_pts - targets.ctrl_points).sum(axis=(-1, -2))
-        loss_pts = (l1 * valid).sum() / num_inst
+        loss_pts = (l1 * matched).sum() / num_inst
 
         pred_txt = _gather_queries(texts, match)       # (B, I, Nw, V+1)
         logp = jax.nn.log_softmax(pred_txt, axis=-1)
         nll = -jnp.take_along_axis(logp, targets.texts[..., None], axis=-1)[..., 0]
         # reference F.cross_entropy averages over matched instances x words
-        n_words = jnp.clip((valid.sum() * cfg.max_text_len), 1.0)
-        loss_txt = (nll * valid[..., None]).sum() / n_words
+        n_words = jnp.clip((matched.sum() * cfg.max_text_len), 1.0)
+        loss_txt = (nll * matched[..., None]).sum() / n_words
 
         suffix = "" if l == n_layers - 1 else f"_{l}"
         losses[f"loss_ce{suffix}"] = loss_ce * cfg.point_class_weight
@@ -152,16 +155,19 @@ def criterion(
         )
 
     # encoder (two-stage proposal) losses — enc_match from the stacked solve
-    loss_ce_enc = _label_loss(out.enc_logits, enc_match, valid, num_inst, a, g)
+    enc_matched = ((enc_match >= 0).astype(jnp.float32)) * valid
+    loss_ce_enc = _label_loss(
+        out.enc_logits, enc_match, enc_matched, num_inst, a, g
+    )
     pred_boxes = _gather_queries(out.enc_boxes, enc_match)  # (B, I, 4)
     l1 = jnp.abs(pred_boxes - targets.boxes).sum(-1)
-    loss_bbox = (l1 * valid).sum() / num_inst
+    loss_bbox = (l1 * enc_matched).sum() / num_inst
 
     giou = generalized_box_iou(
         box_cxcywh_to_xyxy(pred_boxes), box_cxcywh_to_xyxy(targets.boxes)
     )
     diag = jnp.diagonal(giou, axis1=-2, axis2=-1)            # (B, I)
-    loss_giou = ((1.0 - diag) * valid).sum() / num_inst
+    loss_giou = ((1.0 - diag) * enc_matched).sum() / num_inst
 
     losses["loss_ce_enc"] = loss_ce_enc * cfg.box_class_weight
     losses["loss_bbox_enc"] = loss_bbox * cfg.box_coord_weight

@@ -206,12 +206,13 @@ class MSDeformAttn(nn.Module):
 
 class MHA(nn.Module):
     """Plain multi-head self-attention with separate qkv inputs (the decoder's
-    intra/inter attentions; torch nn.MultiheadAttention equivalent)."""
+    intra/inter attentions; torch nn.MultiheadAttention equivalent, including
+    its attention-probability dropout)."""
 
     cfg: TESTRConfig
 
     @nn.compact
-    def __call__(self, q, k, v):
+    def __call__(self, q, k, v, deterministic: bool = True):
         cfg = self.cfg
         d, M = cfg.d_model, cfg.nheads
         dh = d // M
@@ -224,34 +225,44 @@ class MHA(nn.Module):
         vh = heads(v, "v_proj")
         logits = jnp.einsum("...qhd,...khd->...hqk", qh, kh) / math.sqrt(dh)
         probs = jax.nn.softmax(logits, axis=-1)
+        probs = nn.Dropout(self.cfg.dropout)(probs, deterministic=deterministic)
         out = jnp.einsum("...hqk,...khd->...qhd", probs, vh)
         return nn.Dense(d, name="out_proj")(out.reshape(*q.shape[:-1], d))
 
 
 class FFN(nn.Module):
+    """relu FFN with the reference's dropout placement: after the activation
+    and on the output before the residual (deformable_transformer.py:207-208,
+    forward_ffn)."""
+
     cfg: TESTRConfig
 
     @nn.compact
-    def __call__(self, x):
-        h = nn.relu(nn.Dense(self.cfg.dim_feedforward, name="linear1")(x))
-        h = nn.Dense(self.cfg.d_model, name="linear2")(h)
+    def __call__(self, x, deterministic: bool = True):
+        drop = lambda h: nn.Dropout(self.cfg.dropout)(  # noqa: E731
+            h, deterministic=deterministic
+        )
+        h = drop(nn.relu(nn.Dense(self.cfg.dim_feedforward, name="linear1")(x)))
+        h = drop(nn.Dense(self.cfg.d_model, name="linear2")(h))
         return nn.LayerNorm(name="norm")(x + h)
 
 
 class EncoderLayer(nn.Module):
     """Deformable self-attention encoder layer
-    (deformable_transformer.py:183-222)."""
+    (deformable_transformer.py:183-222), dropout on the attention output
+    before the residual (dropout1, :214-216)."""
 
     cfg: TESTRConfig
     spatial_shapes: Tuple[Tuple[int, int], ...]
 
     @nn.compact
-    def __call__(self, src, pos, reference_points):
+    def __call__(self, src, pos, reference_points, deterministic: bool = True):
         attn = MSDeformAttn(
             self.cfg, self.cfg.enc_n_points, self.spatial_shapes, name="self_attn"
         )(src + pos, reference_points, src)
+        attn = nn.Dropout(self.cfg.dropout)(attn, deterministic=deterministic)
         src = nn.LayerNorm(name="norm1")(src + attn)
-        return FFN(self.cfg, name="ffn")(src)
+        return FFN(self.cfg, name="ffn")(src, deterministic)
 
 
 class CompositeDecoderLayer(nn.Module):
@@ -262,20 +273,26 @@ class CompositeDecoderLayer(nn.Module):
     spatial_shapes: Tuple[Tuple[int, int], ...]
 
     @nn.compact
-    def __call__(self, tgt, query_pos, tgt_text, text_pos, reference_points, src):
+    def __call__(self, tgt, query_pos, tgt_text, text_pos, reference_points, src,
+                 deterministic: bool = True):
         cfg = self.cfg
         B, K, Np, d = tgt.shape
         Nw = tgt_text.shape[2]
+        # dropout on every attention output before its residual, matching the
+        # reference's dropout_{intra,inter,cross}[_text] (:355-430)
+        drop = lambda h: nn.Dropout(cfg.dropout)(  # noqa: E731
+            h, deterministic=deterministic
+        )
 
         # location: intra-object self-attn over points
         q = k = tgt + query_pos
-        t2 = MHA(cfg, name="attn_intra")(q, k, tgt)
-        tgt = nn.LayerNorm(name="norm_intra")(tgt + t2)
+        t2 = MHA(cfg, name="attn_intra")(q, k, tgt, deterministic)
+        tgt = nn.LayerNorm(name="norm_intra")(tgt + drop(t2))
 
         # inter-object self-attn (swap object/point axes)
         ti = jnp.swapaxes(tgt, 1, 2)
-        t2 = MHA(cfg, name="attn_inter")(ti, ti, ti)
-        ti = nn.LayerNorm(name="norm_inter")(ti + t2)
+        t2 = MHA(cfg, name="attn_inter")(ti, ti, ti, deterministic)
+        ti = nn.LayerNorm(name="norm_inter")(ti + drop(t2))
         tgt = jnp.swapaxes(ti, 1, 2)
 
         # deformable cross-attn: queries = all K*Np points
@@ -285,17 +302,17 @@ class CompositeDecoderLayer(nn.Module):
         t2 = MSDeformAttn(cfg, cfg.dec_n_points, self.spatial_shapes, name="attn_cross")(
             (tgt + query_pos).reshape(B, K * Np, d), ref, src
         ).reshape(B, K, Np, d)
-        tgt = nn.LayerNorm(name="norm_cross")(tgt + t2)
+        tgt = nn.LayerNorm(name="norm_cross")(tgt + drop(t2))
 
         # text: intra-word self-attn
         qt = kt = tgt_text + text_pos
-        t2 = MHA(cfg, name="attn_intra_text")(qt, kt, tgt_text)
-        txt = nn.LayerNorm(name="norm_intra_text")(tgt_text + t2)
+        t2 = MHA(cfg, name="attn_intra_text")(qt, kt, tgt_text, deterministic)
+        txt = nn.LayerNorm(name="norm_intra_text")(tgt_text + drop(t2))
 
         # text: inter-object self-attn
         ti = jnp.swapaxes(txt, 1, 2)
-        t2 = MHA(cfg, name="attn_inter_text")(ti, ti, ti)
-        ti = nn.LayerNorm(name="norm_inter_text")(ti + t2)
+        t2 = MHA(cfg, name="attn_inter_text")(ti, ti, ti, deterministic)
+        ti = nn.LayerNorm(name="norm_inter_text")(ti + drop(t2))
         txt = jnp.swapaxes(ti, 1, 2)
 
         # text: deformable cross-attn
@@ -305,10 +322,10 @@ class CompositeDecoderLayer(nn.Module):
         t2 = MSDeformAttn(
             cfg, cfg.dec_n_points, self.spatial_shapes, name="attn_cross_text"
         )((txt + text_pos).reshape(B, K * Nw, d), reft, src).reshape(B, K, Nw, d)
-        txt = nn.LayerNorm(name="norm_cross_text")(txt + t2)
+        txt = nn.LayerNorm(name="norm_cross_text")(txt + drop(t2))
 
-        tgt = FFN(cfg, name="ffn")(tgt)
-        txt = FFN(cfg, name="ffn_text")(txt)
+        tgt = FFN(cfg, name="ffn")(tgt, deterministic)
+        txt = FFN(cfg, name="ffn_text")(txt, deterministic)
         return tgt, txt
 
 
@@ -334,9 +351,13 @@ class TESTR(nn.Module):
     feat_hw: Tuple[int, int] = (64, 64)   # unpatchified DiT feature size
 
     @nn.compact
-    def __call__(self, feats: jnp.ndarray) -> TESTROutput:
+    def __call__(
+        self, feats: jnp.ndarray, deterministic: bool = True
+    ) -> TESTROutput:
         """feats: (num_layers_extracted, B, H, W, C) stacked NHWC DiT features
-        (already unpatchified; C = dit_dim//4 per stream x num streams)."""
+        (already unpatchified; C = dit_dim//4 per stream x num streams).
+        `deterministic=False` enables dropout (rate cfg.dropout, reference
+        deformable_transformer.py:186-208) — needs an rngs={'dropout': ...}."""
         cfg = self.cfg
         nlev = cfg.num_feature_levels
         Lf, B, H, W, C = feats.shape
@@ -380,11 +401,14 @@ class TESTR(nn.Module):
             ref_points[None, :, None, :], (B, ref_points.shape[0], nlev, 2)
         )
 
-        enc_cls = nn.remat(EncoderLayer) if cfg.remat else EncoderLayer
+        enc_cls = (
+            nn.remat(EncoderLayer, static_argnums=(4,)) if cfg.remat
+            else EncoderLayer
+        )
         memory = src_flat
         for i in range(cfg.num_encoder_layers):
             memory = enc_cls(cfg, shapes, name=f"encoder_{i}")(
-                memory, pos_flat, ref_points
+                memory, pos_flat, ref_points, deterministic
             )
 
         # two-stage proposals (deformable_transformer.py:81-112,151-168)
@@ -464,12 +488,15 @@ class TESTR(nn.Module):
             reference_points[:, :, None], nlev, axis=2
         )  # (B, K, L, 4); valid ratios = 1
 
-        dec_cls = nn.remat(CompositeDecoderLayer) if cfg.remat else CompositeDecoderLayer
+        dec_cls = (
+            nn.remat(CompositeDecoderLayer, static_argnums=(7,)) if cfg.remat
+            else CompositeDecoderLayer
+        )
         logits_layers, coords_layers, text_layers = [], [], []
         for i in range(cfg.num_decoder_layers):
             tgt, tgt_text = dec_cls(
                 cfg, shapes, name=f"decoder_{i}"
-            )(tgt, qpos, tgt_text, tpos, ref_broadcast, memory)
+            )(tgt, qpos, tgt_text, tpos, ref_broadcast, memory, deterministic)
             ref_inv = inverse_sigmoid(reference_points)       # (B, K, 4)
             coord = ctrl_coord(tgt) + ref_inv[:, :, None, :2]
             logits_layers.append(ctrl_class(tgt))

@@ -68,18 +68,45 @@ class OCRGuidedSampler:
         spotter = self.spotter
         n_ext = self._n_ext
 
+        use_cfg = pipe.sampler_cfg.guidance_scale > 1.0
+        scale = pipe.sampler_cfg.guidance_scale
+
         @jax.jit
-        def step(params, i, latents, control_latent, text_embeds, pooled_embeds):
-            t = jnp.broadcast_to(sched.timesteps[i], (latents.shape[0],))
+        def step(params, i, latents, control_latent, text_embeds, pooled_embeds,
+                 neg_text_embeds=None, neg_pooled_embeds=None):
+            b = latents.shape[0]
+            if use_cfg:
+                if neg_text_embeds is None or neg_pooled_embeds is None:
+                    raise ValueError(
+                        "guidance_scale > 1 requires negative embeddings "
+                        "(the reference's TSM val configs run guidance 8.0 "
+                        "with a null negative prompt, pipeline_dit4sr.py:1107)"
+                    )
+                latents_in = jnp.concatenate([latents, latents])
+                control_in = jnp.concatenate([control_latent, control_latent])
+                text_in = jnp.concatenate([neg_text_embeds, text_embeds])
+                pooled_in = jnp.concatenate([neg_pooled_embeds, pooled_embeds])
+            else:
+                latents_in, control_in = latents, control_latent
+                text_in, pooled_in = text_embeds, pooled_embeds
+            t = jnp.broadcast_to(sched.timesteps[i], (latents_in.shape[0],))
             out, feats = pipe.mmdit.apply(
                 params["mmdit"],
-                latents.astype(mcfg.dtype),
-                control_latent.astype(mcfg.dtype),
-                text_embeds.astype(mcfg.dtype),
-                pooled_embeds.astype(mcfg.dtype),
+                latents_in.astype(mcfg.dtype),
+                control_in.astype(mcfg.dtype),
+                text_in.astype(mcfg.dtype),
+                pooled_in.astype(mcfg.dtype),
                 t,
                 extract_features=True,
             )
+            if use_cfg:
+                uncond, cond = out[:b], out[b:]
+                out = uncond + scale * (cond - uncond)
+                # TESTR reads the COND half's features. (The reference indexes
+                # ocr_result[0], which under its [neg, pos] batching is the
+                # *negative* sample — an apparent quirk we deliberately do not
+                # replicate; pipeline_dit4sr.py:1246.)
+                feats = feats[:, b:]
             new_latents = sched.step(i, latents, out)
             maps = fuse_dit_features(
                 feats.astype(jnp.float32), mcfg.patch_size, n_ext
@@ -109,10 +136,18 @@ class OCRGuidedSampler:
         initial_prompts: List[str],
         num_steps: Optional[int] = None,
         return_ocr_log: bool = False,
+        negative_prompts: Optional[List[str]] = None,
     ):
-        """LQ image + initial prompt -> SR image, with per-step TSM feedback."""
+        """LQ image + initial prompt -> SR image, with per-step TSM feedback.
+        With guidance_scale > 1, `negative_prompts` (default: null prompts)
+        are encoded once and CFG-combined every step."""
         pipe = self.pipe
         n = num_steps or pipe.sampler_cfg.num_inference_steps
+        neg_text = neg_pooled = None
+        if pipe.sampler_cfg.guidance_scale > 1.0:
+            if negative_prompts is None:
+                negative_prompts = [""] * len(initial_prompts)
+            neg_text, neg_pooled = self.encode_prompt_fn(negative_prompts)
         rng_enc, rng_noise = jax.random.split(rng)
         control_latent = pipe.encode_image(params["vae"], lq_image, rng_enc)
         noise = jax.random.normal(rng_noise, control_latent.shape, jnp.float32)
@@ -129,7 +164,7 @@ class OCRGuidedSampler:
         for i in range(n):
             latents, preds = step_fn(
                 params, jnp.asarray(i), latents, control_latent,
-                text_embeds, pooled,
+                text_embeds, pooled, neg_text, neg_pooled,
             )
             if i < n - 1:
                 result = self.decode_predictions(preds)

@@ -92,6 +92,12 @@ class SRPipeline:
         """One transformer evaluation (+CFG combine when enabled)."""
         b = latents.shape[0]
         use_cfg = self.sampler_cfg.guidance_scale > 1.0
+        if use_cfg and (neg_text_embeds is None or neg_pooled_embeds is None):
+            raise ValueError(
+                "guidance_scale > 1 requires neg_text_embeds/neg_pooled_embeds "
+                "(encode the negative/null prompt and pass both; reference "
+                "pipeline_dit4sr.py:1103-1110)"
+            )
         if use_cfg:
             latents_in = jnp.concatenate([latents, latents])
             control_in = jnp.concatenate([control_latent, control_latent])
@@ -198,6 +204,8 @@ class SRPipeline:
         lq_image: jnp.ndarray,
         text_embeds: jnp.ndarray,
         pooled_embeds: jnp.ndarray,
+        neg_text_embeds: Optional[jnp.ndarray] = None,
+        neg_pooled_embeds: Optional[jnp.ndarray] = None,
         num_steps: Optional[int] = None,
         vae_tile: int = 64,
         vae_chunk: int = 1,
@@ -228,8 +236,10 @@ class SRPipeline:
         else:
             latents = noise
 
-        def velocity_fn(lat, ctrl, te, pe, t):
-            return self.velocity(params["mmdit"], lat, ctrl, te, pe, t, None)
+        def velocity_fn(lat, ctrl, te, pe, t, neg_te, neg_pe):
+            return self.velocity(
+                params["mmdit"], lat, ctrl, te, pe, t, None, neg_te, neg_pe
+            )
 
         tiled_v = make_tiled_velocity(
             velocity_fn, scfg.latent_tiled_size, scfg.latent_tiled_overlap
@@ -237,7 +247,7 @@ class SRPipeline:
 
         def body(latents, i):
             v = tiled_v(latents, control_latent, text_embeds, pooled_embeds,
-                        sched.timesteps[i])
+                        sched.timesteps[i], neg_text_embeds, neg_pooled_embeds)
             return sched.step(i, latents, v), None
 
         latents, _ = jax.lax.scan(body, latents, jnp.arange(sched.num_steps))
@@ -263,10 +273,13 @@ class SRPipeline:
             control_latent: jnp.ndarray,
             text_embeds: jnp.ndarray,
             pooled_embeds: jnp.ndarray,
+            neg_text_embeds=None,
+            neg_pooled_embeds=None,
         ):
             v = self.velocity(
                 mmdit_params, latents, control_latent, text_embeds,
                 pooled_embeds, sched.timesteps[i], None,
+                neg_text_embeds, neg_pooled_embeds,
             )
             return sched.step(i, latents, v)
 
@@ -280,10 +293,14 @@ class SRPipeline:
         encode_prompt_fn: Callable[[int, Any], Tuple[jnp.ndarray, jnp.ndarray]],
         ocr_fn: Optional[Callable] = None,
         num_steps: Optional[int] = None,
+        neg_text_embeds: Optional[jnp.ndarray] = None,
+        neg_pooled_embeds: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Host loop: after each step, `ocr_fn(latents, step)` may read text
         from intermediate features and `encode_prompt_fn(step, ocr_result)`
-        returns fresh (text_embeds, pooled_embeds) for the next step."""
+        returns fresh (text_embeds, pooled_embeds) for the next step. The
+        negative embeddings stay fixed across steps (the reference re-encodes
+        only the positive TSM prompt, pipeline_dit4sr.py:1425-1446)."""
         n = num_steps or self.sampler_cfg.num_inference_steps
         rng_enc, rng_noise = jax.random.split(rng)
         control_latent = self.encode_image(params["vae"], lq_image, rng_enc)
@@ -300,7 +317,7 @@ class SRPipeline:
         for i in range(n):
             latents = step_fn(
                 params["mmdit"], jnp.asarray(i), latents, control_latent,
-                text_embeds, pooled_embeds,
+                text_embeds, pooled_embeds, neg_text_embeds, neg_pooled_embeds,
             )
             if ocr_fn is not None and i < n - 1:
                 ocr_result = ocr_fn(latents, i)

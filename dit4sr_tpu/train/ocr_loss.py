@@ -29,11 +29,11 @@ def make_ocr_loss_fn(
     for train_step.make_train_step."""
     n_ext = num_streams_extracted(model_cfg)
 
-    def ocr_loss_fn(testr_params, feats, targets):
+    def ocr_loss_fn(testr_params, feats, targets, rng=None):
         maps = fuse_dit_features(
             feats.astype(jnp.float32), model_cfg.patch_size, n_ext
         )
-        total, losses = spotter.loss(testr_params, maps, targets)
+        total, losses = spotter.loss(testr_params, maps, targets, rng=rng)
         return total, {f"ocr/{k}": v for k, v in losses.items()}
 
     return ocr_loss_fn

@@ -58,11 +58,49 @@ def make_optimizer(
     oc = cfg.optim
 
     def schedule_for(lr):
-        if oc.lr_warmup_steps > 0:
-            return optax.linear_schedule(0.0, lr, oc.lr_warmup_steps)
-        return lr
+        """The diffusers get_scheduler family (reference train_dit4sr.py:95)."""
+        name = oc.lr_scheduler
+        warmup = oc.lr_warmup_steps
+        decay = max(cfg.num_train_steps - warmup, 1)
+        if name in ("constant", "constant_with_warmup"):
+            main = optax.constant_schedule(lr)
+        elif name == "linear":
+            main = optax.linear_schedule(lr, 0.0, decay)
+        elif name == "cosine":
+            main = optax.cosine_decay_schedule(lr, decay)
+        elif name == "cosine_with_restarts":
+            cycles = max(oc.lr_num_cycles, 1)
+            per = max(decay // cycles, 1)
+            main = optax.join_schedules(
+                [optax.cosine_decay_schedule(lr, per) for _ in range(cycles)],
+                [per * (i + 1) for i in range(cycles - 1)],
+            )
+        elif name == "polynomial":
+            main = optax.polynomial_schedule(lr, oc.lr_end, oc.lr_power, decay)
+        else:
+            raise ValueError(f"unknown lr_scheduler {name!r}")
+        if warmup > 0:
+            return optax.join_schedules(
+                [optax.linear_schedule(0.0, lr, warmup), main], [warmup]
+            )
+        return main
 
     def adamw(lr):
+        if oc.optimizer == "adamw_bf16":
+            # low-memory moments — the TPU answer to the reference's
+            # bitsandbytes AdamW8bit option (initialize.py:575-580)
+            import jax.numpy as jnp
+
+            return optax.chain(
+                optax.scale_by_adam(
+                    b1=oc.betas[0], b2=oc.betas[1], eps=oc.eps,
+                    mu_dtype=jnp.bfloat16,
+                ),
+                optax.add_decayed_weights(oc.weight_decay),
+                optax.scale_by_learning_rate(schedule_for(lr)),
+            )
+        if oc.optimizer != "adamw":
+            raise ValueError(f"unknown optimizer {oc.optimizer!r}")
         return optax.adamw(
             schedule_for(lr),
             b1=oc.betas[0],
@@ -85,10 +123,15 @@ def make_optimizer(
 
     mask = trainable_mask(params, cfg.finetune_layer_names)
     frozen = jax.tree.map(lambda m: not m, mask)
+    # frozen-param grads are zeroed BEFORE the clip so the global norm covers
+    # only trainable params — the reference clips params_to_clip only
+    # (train_dit4sr.py:398 accelerator.clip_grad_norm_); clipping the full
+    # tree would deflate trainable updates whenever frozen grads are large
     tx = optax.chain(
+        optax.masked(optax.set_to_zero(), frozen),
         optax.clip_by_global_norm(oc.max_grad_norm),
         base,
-        optax.masked(optax.set_to_zero(), frozen),  # freeze non-finetuned params
+        optax.masked(optax.set_to_zero(), frozen),  # keep frozen params exact
     )
     if cfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)

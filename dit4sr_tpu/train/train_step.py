@@ -96,6 +96,7 @@ def make_train_step(
     need_feats = ocr_loss_fn is not None and train_cfg.stage in ("stage2", "stage3")
 
     def loss_fn(params, batch: Batch, rng, ocr_targets):
+        rng, rng_drop = jax.random.split(rng)
         mmdit_params = params["mmdit"] if "mmdit" in params else params
         diff_loss, (sigmas, feats) = flow_matching_loss(
             mmdit, mmdit_params, batch, rng, train_cfg, sched_cfg,
@@ -103,7 +104,9 @@ def make_train_step(
         )
         metrics = {"diff_loss": diff_loss}
         if need_feats:
-            ocr_loss, ocr_metrics = ocr_loss_fn(params["testr"], feats, ocr_targets)
+            ocr_loss, ocr_metrics = ocr_loss_fn(
+                params["testr"], feats, ocr_targets, rng=rng_drop
+            )
             metrics["ocr_loss"] = ocr_loss
             metrics.update(ocr_metrics)
         else:

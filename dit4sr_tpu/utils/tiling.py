@@ -168,16 +168,20 @@ def make_tiled_velocity(velocity_fn: Callable, tile: int, overlap: int) -> Calla
     version (pipeline_dit4sr.py:1449-1558). All tiles are batched into ONE
     transformer call — text/pooled embeddings are broadcast per tile."""
 
-    def tiled(latents, control, text_embeds, pooled, *args):
+    def tiled(latents, control, text_embeds, pooled, t,
+              neg_text_embeds=None, neg_pooled_embeds=None):
         B, H, W, C = latents.shape
         if H <= tile and W <= tile:
-            return velocity_fn(latents, control, text_embeds, pooled, *args)
+            return velocity_fn(latents, control, text_embeds, pooled, t,
+                               neg_text_embeds, neg_pooled_embeds)
         lt, offs = extract_tiles(latents, tile, overlap)
         ct, _ = extract_tiles(control, tile, overlap)
         T = len(offs)
         te = jnp.tile(text_embeds, (T, 1, 1))
         pe = jnp.tile(pooled, (T, 1))
-        v = velocity_fn(lt, ct, te, pe, *args)
+        nte = None if neg_text_embeds is None else jnp.tile(neg_text_embeds, (T, 1, 1))
+        npe = None if neg_pooled_embeds is None else jnp.tile(neg_pooled_embeds, (T, 1))
+        v = velocity_fn(lt, ct, te, pe, t, nte, npe)
         return stitch_tiles(v, offs, (H, W), B)
 
     return tiled

@@ -67,3 +67,43 @@ def test_ocr_guided_sampling_runs():
     assert len(ocr_log) == 2
     # ocr log contains per-step decoded words (possibly empty) and scores
     assert ocr_log[0].scores.shape == (1, testr_cfg.num_queries)
+
+
+def test_ocr_guided_cfg_runs():
+    """TSM with CFG (the reference's val configs run guidance > 1 with TSM;
+    round-1 silently ignored guidance_scale on this path)."""
+    mcfg = mmdit_tiny(
+        in_channels=4, out_channels=4, sample_size=8,
+        feat_extract_layers=(0, 1), feat_extract="hq+control",
+    )
+    vcfg = vae_tiny()
+    mmdit, mparams = init_mmdit(jax.random.PRNGKey(0), mcfg, text_len=TEXT_LEN)
+    vae = AutoencoderKL(vcfg)
+    vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3), vcfg.dtype))
+    testr_cfg = make_testr_tiny(
+        num_feature_levels=2, num_dit_layers=2, dit_dim=mcfg.inner_dim // 4 * 2,
+    )
+    spotter = TextSpotter(testr_cfg, feat_hw=(4, 4))
+    feats0 = jnp.zeros((2, 1, 4, 4, testr_cfg.dit_dim), jnp.float32)
+    tparams = spotter.init(jax.random.PRNGKey(2), feats0)
+
+    pipe = SRPipeline(
+        mmdit, vae, mcfg, vcfg, SchedulerConfig(),
+        SamplerConfig(
+            num_inference_steps=2, align_method="nofix", guidance_scale=8.0
+        ),
+    )
+
+    def encode_prompt_fn(prompts):
+        rng = np.random.default_rng(sum(len(p) for p in prompts) + 1)
+        return (
+            jnp.asarray(rng.normal(size=(len(prompts), TEXT_LEN, mcfg.joint_attention_dim)), jnp.float32),
+            jnp.asarray(rng.normal(size=(len(prompts), mcfg.pooled_projection_dim)), jnp.float32),
+        )
+
+    sampler = OCRGuidedSampler(pipe, spotter, encode_prompt_fn)
+    params = {"mmdit": mparams, "vae": vparams, "testr": tparams}
+    lq = jnp.asarray(np.random.default_rng(5).uniform(size=(1, 32, 32, 3)), jnp.float32)
+    img = sampler(params, jax.random.PRNGKey(3), lq, ["a sign"])
+    assert img.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(img)).all()

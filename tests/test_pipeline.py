@@ -102,3 +102,43 @@ def test_bicubic_upscale():
     up = bicubic_upscale(lq, 4)
     assert up.shape == (1, 32, 32, 3)
     assert float(up.min()) >= 0.0 and float(up.max()) <= 1.0
+
+
+def test_cfg_host_loop_and_tiled_paths():
+    """CFG must work on the host-loop and tiled paths too (round-1 ADVICE:
+    these crashed at trace time with jnp.concatenate([None, ...]))."""
+    pipe, params = _pipeline({"guidance_scale": 3.0, "latent_tiled_size": 4,
+                              "latent_tiled_overlap": 2})
+    txt, pool = _text_inputs()
+    neg_t, neg_p = jnp.zeros_like(txt), jnp.zeros_like(pool)
+    lq = jnp.asarray(
+        np.random.default_rng(2).uniform(size=(1, 32, 32, 3)), jnp.float32
+    )
+
+    out_scan = pipe(params, jax.random.PRNGKey(7), lq, txt, pool,
+                    neg_text_embeds=neg_t, neg_pooled_embeds=neg_p)
+    out_host = pipe.sample_with_prompt_feedback(
+        params, jax.random.PRNGKey(7), lq, lambda i, ocr: (txt, pool),
+        neg_text_embeds=neg_t, neg_pooled_embeds=neg_p,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_scan), np.asarray(out_host), atol=1e-5
+    )
+
+    out_tiled = pipe.call_tiled(
+        params, jax.random.PRNGKey(7), lq, txt, pool,
+        neg_text_embeds=neg_t, neg_pooled_embeds=neg_p,
+    )
+    assert np.isfinite(np.asarray(out_tiled)).all()
+
+
+def test_cfg_without_neg_embeds_raises():
+    pipe, params = _pipeline({"guidance_scale": 3.0})
+    txt, pool = _text_inputs()
+    lq = jnp.asarray(
+        np.random.default_rng(2).uniform(size=(1, 32, 32, 3)), jnp.float32
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="neg_text_embeds"):
+        pipe(params, jax.random.PRNGKey(0), lq, txt, pool)
