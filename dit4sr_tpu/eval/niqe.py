@@ -61,17 +61,58 @@ def _gauss_kernel(size: int = 7, sigma: float = 7.0 / 6.0) -> np.ndarray:
     return k / k.sum()
 
 
-def _filter2(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
-    import cv2
+def _mscn(img: np.ndarray, window: np.ndarray) -> np.ndarray:
+    from scipy.ndimage import convolve
 
-    return cv2.filter2D(img, -1, kernel, borderType=cv2.BORDER_REPLICATE)
-
-
-def _mscn(img: np.ndarray) -> np.ndarray:
-    kernel = _gauss_kernel()
-    mu = _filter2(img, kernel)
-    sigma = np.sqrt(np.maximum(_filter2(img * img, kernel) - mu * mu, 0.0))
+    mu = convolve(img, window, mode="nearest")
+    sigma = np.sqrt(np.abs(convolve(img * img, window, mode="nearest") - mu * mu))
     return (img - mu) / (sigma + 1.0)
+
+
+# ---------------------------------------------------------------------------
+# MATLAB-compatible antialiased bicubic resize (NIQE's 0.5x downscale uses
+# imresize with antialiasing; a plain bilinear resize shifts the score)
+# ---------------------------------------------------------------------------
+
+
+def _matlab_cubic(x: np.ndarray) -> np.ndarray:
+    """MATLAB's bicubic kernel (Keys, a=-0.5)."""
+    ax = np.abs(x)
+    ax2, ax3 = ax * ax, ax * ax * ax
+    return (1.5 * ax3 - 2.5 * ax2 + 1.0) * (ax <= 1.0) + (
+        -0.5 * ax3 + 2.5 * ax2 - 4.0 * ax + 2.0
+    ) * ((ax > 1.0) & (ax < 2.0))
+
+
+def _resize_weights(in_len: int, out_len: int, scale: float):
+    """Per-output-pixel contribution weights/indices, antialiased for
+    scale < 1 (the published MATLAB imresize algorithm)."""
+    kernel_width = 4.0 / scale if scale < 1.0 else 4.0
+    x = np.arange(1.0, out_len + 1.0)
+    u = x / scale + 0.5 * (1.0 - 1.0 / scale)
+    left = np.floor(u - kernel_width / 2.0)
+    p = int(math.ceil(kernel_width)) + 2
+    idx = left[:, None] + np.arange(p)[None, :] - 1.0      # 0-based
+    dist = u[:, None] - (idx + 1.0)
+    w = scale * _matlab_cubic(dist * scale) if scale < 1.0 else _matlab_cubic(dist)
+    w = w / w.sum(axis=1, keepdims=True)
+    # symmetric (mirror) boundary, as MATLAB's aux index array
+    idx = idx.astype(np.int64)
+    idx = np.where(idx < 0, -idx - 1, idx)
+    idx = np.where(idx >= in_len, 2 * in_len - idx - 1, idx)
+    # drop columns that are zero for every output pixel
+    keep = ~np.all(w == 0.0, axis=0)
+    return w[:, keep], idx[:, keep]
+
+
+def matlab_imresize(img: np.ndarray, scale: float) -> np.ndarray:
+    """2D MATLAB-equivalent imresize(img, scale) with antialiasing."""
+    h, w = img.shape
+    oh, ow = int(math.ceil(h * scale)), int(math.ceil(w * scale))
+    wr, ir = _resize_weights(h, oh, scale)
+    tmp = np.einsum("op,opw->ow", wr, img[ir, :])
+    wc, ic = _resize_weights(w, ow, scale)
+    return np.einsum("op,hop->ho", wc, tmp[:, ic])
 
 
 def _block_features(mscn: np.ndarray) -> np.ndarray:
@@ -99,6 +140,9 @@ def niqe(
     data = np.load(params_path)
     mu_pris = data["mu_pris_param"].reshape(-1)
     cov_pris = data["cov_pris_param"]
+    window = (
+        data["gaussian_window"] if "gaussian_window" in data else _gauss_kernel()
+    )
 
     if image.ndim == 3:
         # Y channel of YCbCr (the BT.601 convention NIQE models were fit on)
@@ -107,6 +151,7 @@ def niqe(
         ) + 16.0
     else:
         img = image * 255.0
+    # MATLAB consistency: the basicsr/pyiqa implementations round the Y image
     img = np.round(img.astype(np.float64))
 
     h, w = img.shape
@@ -117,7 +162,7 @@ def niqe(
 
     feats_scales = []
     for scale in (1, 2):
-        mscn = _mscn(img)
+        mscn = _mscn(img, window)
         feats = []
         b = block // scale
         for i in range(nbh):
@@ -125,12 +170,8 @@ def niqe(
                 feats.append(_block_features(mscn[i * b : (i + 1) * b, j * b : (j + 1) * b]))
         feats_scales.append(np.stack(feats))
         if scale == 1:
-            import cv2
-
-            img = cv2.resize(
-                img, (img.shape[1] // 2, img.shape[0] // 2),
-                interpolation=cv2.INTER_LINEAR,
-            )
+            # antialiased MATLAB imresize, as basicsr (imresize(img/255, 0.5))
+            img = matlab_imresize(img / 255.0, 0.5) * 255.0
     feats = np.concatenate(feats_scales, axis=1)  # (nblocks, 36)
 
     mu_dist = np.nanmean(feats, axis=0)

@@ -72,3 +72,98 @@ def test_lpips_converter_layout():
     assert params["conv0_w"].shape == (11, 11, 3, 64)
     assert params["lin4_w"].shape == (256,)
     assert (params["lin0_w"] >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# parity vs the vendored basicsr NIQE (the reference's metric lineage)
+# ---------------------------------------------------------------------------
+
+_REF_BASICSR = "/root/reference/basicsr"
+
+
+def _load_ref_niqe():
+    """Load basicsr/metrics/niqe.py standalone as a numeric oracle (its
+    package graph is stubbed; we validate against it, never import it into
+    the framework)."""
+    import importlib.util
+    import sys
+    import types
+
+    def _mod(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        return m
+
+    matlab = _mod("ref_matlab", f"{_REF_BASICSR}/utils/matlab_functions.py")
+    color = _mod("ref_color", f"{_REF_BASICSR}/utils/color_util.py")
+
+    pkg = types.ModuleType("basicsr")
+    utils = types.ModuleType("basicsr.utils")
+    utils.bgr2ycbcr = color.bgr2ycbcr
+    mfun = types.ModuleType("basicsr.utils.matlab_functions")
+    mfun.imresize = matlab.imresize
+    reg = types.ModuleType("basicsr.utils.registry")
+
+    class _Reg:
+        def register(self, *a, **k):
+            return lambda f: f
+
+    reg.METRIC_REGISTRY = _Reg()
+    metrics = types.ModuleType("basicsr.metrics")
+    mods = {
+        "basicsr": pkg,
+        "basicsr.utils": utils,
+        "basicsr.utils.matlab_functions": mfun,
+        "basicsr.utils.registry": reg,
+        "basicsr.metrics": metrics,
+    }
+    saved = {k: sys.modules.get(k) for k in mods}
+    sys.modules.update(mods)
+    try:
+        sys.modules["basicsr.metrics.metric_util"] = _mod(
+            "basicsr.metrics.metric_util", f"{_REF_BASICSR}/metrics/metric_util.py"
+        )
+        return _mod("ref_niqe", f"{_REF_BASICSR}/metrics/niqe.py"), matlab
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+@pytest.mark.skipif(
+    not niqe_available(), reason="reference basicsr checkout not present"
+)
+def test_matlab_imresize_parity():
+    from dit4sr_tpu.eval.niqe import matlab_imresize
+
+    _, matlab = _load_ref_niqe()
+    img = np.random.default_rng(0).uniform(size=(96, 80)).astype(np.float64)
+    mine = matlab_imresize(img, 0.5)
+    theirs = matlab.imresize(img, 0.5, antialiasing=True)
+    if hasattr(theirs, "numpy"):
+        theirs = theirs.numpy()
+    np.testing.assert_allclose(mine, theirs, atol=1e-6)
+
+
+@pytest.mark.skipif(
+    not niqe_available(), reason="reference basicsr checkout not present"
+)
+def test_niqe_parity_vs_basicsr():
+    """Value parity with the vendored basicsr calculate_niqe (which itself
+    matches MATLAB R2021a to 1e-4; basicsr/metrics/niqe.py:150-156). basicsr
+    uses ALL 96x96 blocks (no sharpness threshold) — so do we."""
+    ref, _ = _load_ref_niqe()
+    import cv2
+
+    for seed in (1, 2):
+        small = np.random.default_rng(seed).uniform(size=(16, 16, 3)).astype(np.float32)
+        nat = cv2.resize(small, (288, 288), interpolation=cv2.INTER_CUBIC).clip(0, 1)
+        v_ref = ref.calculate_niqe(
+            (nat[..., ::-1] * 255.0).astype(np.float32),
+            crop_border=0, input_order="HWC", convert_to="y",
+        )
+        v_mine = niqe(nat)
+        assert abs(v_ref - v_mine) < 0.02, (v_ref, v_mine)
