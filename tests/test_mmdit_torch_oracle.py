@@ -10,6 +10,13 @@ control coupling conv, final AdaLN + unpatchify.
 The flax params are created via utils.weights.convert_mmdit from the torch
 state dict (diffusers key layout), so this test simultaneously validates the
 model math AND the weight converter numerics.
+
+Two geometries are covered (round-1 VERDICT weak #3 asked for full width):
+  * tiny, full depth (every block kind, cheap);
+  * SD3.5-medium WIDTH (dim 1536, 24 heads x 64) with one dual-attention
+    block + one standard block + the final context block, including the
+    pos-embed crop path at 64x64 and 96x96 token grids against the 96-max
+    table (reference model_dit4sr/transformer_sd3.py:63-114).
 """
 
 import math
@@ -21,16 +28,12 @@ import torch
 import torch.nn as nn
 import torch.nn.functional as F
 
-from dit4sr_tpu.config import mmdit_tiny
+from dit4sr_tpu.config import MMDiTConfig, mmdit_tiny
 from dit4sr_tpu.models.embeddings import sincos_2d
 from dit4sr_tpu.models.mmdit import MMDiT
 from dit4sr_tpu.utils import weights as W
 
-CFG = mmdit_tiny(sample_size=8, pos_embed_max_size=8)
-D = CFG.inner_dim
-HD = CFG.attention_head_dim
-NH = CFG.num_attention_heads
-P = CFG.patch_size
+CFG_TINY = mmdit_tiny(sample_size=8, pos_embed_max_size=8)
 
 
 class TorchRMS(nn.Module):
@@ -44,9 +47,10 @@ class TorchRMS(nn.Module):
 
 
 class TorchBlock(nn.Module):
-    def __init__(self, dual, last):
+    def __init__(self, cfg, dual, last):
         super().__init__()
-        self.dual, self.last = dual, last
+        self.cfg, self.dual, self.last = cfg, dual, last
+        D, HD = cfg.inner_dim, cfg.attention_head_dim
         self.norm1 = nn.Linear(D, (9 if dual else 6) * D)
         self.norm1_context = nn.Linear(D, (2 if last else 6) * D)
         for name in ("to_q", "to_k", "to_v", "to_out", "add_q", "add_k", "add_v"):
@@ -79,15 +83,16 @@ class TorchBlock(nn.Module):
             self.ffc_in = nn.Linear(D, 4 * D)
             self.ffc_out = nn.Linear(4 * D, D)
 
-    @staticmethod
-    def ln(x):
-        return F.layer_norm(x.float(), (D,), eps=1e-6)
+    def ln(self, x):
+        return F.layer_norm(x.float(), (self.cfg.inner_dim,), eps=1e-6)
 
     def heads(self, x):
         b, n, _ = x.shape
+        NH, HD = self.cfg.num_attention_heads, self.cfg.attention_head_dim
         return x.view(b, n, NH, HD).transpose(1, 2)
 
     def joint_attn(self, hq, ctrl, txt, projs):
+        D = self.cfg.inner_dim
         to_q, to_k, to_v, to_out, q_c, k_c, v_c, out_c, nq, nk = projs
         q = self.heads(to_q(hq))
         k = self.heads(to_k(hq))
@@ -119,6 +124,7 @@ class TorchBlock(nn.Module):
         return o, txt_out
 
     def forward(self, x, txt, temb):
+        D = self.cfg.inner_dim
         n = x.shape[1] // 2
         mod = self.norm1(F.silu(temb))
         if self.dual:
@@ -178,25 +184,28 @@ class TorchBlock(nn.Module):
 
 
 class TorchMMDiT(nn.Module):
-    def __init__(self):
+    def __init__(self, cfg):
         super().__init__()
-        self.patch = nn.Conv2d(CFG.in_channels, D, P, stride=P)
+        self.cfg = cfg
+        D, P = cfg.inner_dim, cfg.patch_size
+        self.patch = nn.Conv2d(cfg.in_channels, D, P, stride=P)
         self.pos = torch.from_numpy(
-            sincos_2d(D, CFG.pos_embed_max_size, CFG.sample_size // P)
+            sincos_2d(D, cfg.pos_embed_max_size, cfg.sample_size // P)
         )
         self.t1 = nn.Linear(256, D)
         self.t2 = nn.Linear(D, D)
-        self.p1 = nn.Linear(CFG.pooled_projection_dim, D)
+        self.p1 = nn.Linear(cfg.pooled_projection_dim, D)
         self.p2 = nn.Linear(D, D)
-        self.ctx = nn.Linear(CFG.joint_attention_dim, D)
+        self.ctx = nn.Linear(cfg.joint_attention_dim, D)
         self.blocks = nn.ModuleList(
             [
-                TorchBlock(i in CFG.dual_attention_layers, i == CFG.num_layers - 1)
-                for i in range(CFG.num_layers)
+                TorchBlock(cfg, i in cfg.dual_attention_layers,
+                           i == cfg.num_layers - 1)
+                for i in range(cfg.num_layers)
             ]
         )
         self.norm_out = nn.Linear(D, 2 * D)
-        self.proj_out = nn.Linear(D, P * P * CFG.out_channels)
+        self.proj_out = nn.Linear(D, P * P * cfg.out_channels)
 
     def time_embed(self, t):
         half = 128
@@ -205,12 +214,14 @@ class TorchMMDiT(nn.Module):
         return torch.cat([torch.cos(args), torch.sin(args)], -1)
 
     def forward(self, lat, ctrl_img, txt, pooled, t):
+        cfg = self.cfg
+        D, P = cfg.inner_dim, cfg.patch_size
         b, c, hh, ww = lat.shape
         gh, gw = hh // P, ww // P
 
         def embed(img):
             tok = self.patch(img).flatten(2).transpose(1, 2)
-            m = CFG.pos_embed_max_size
+            m = cfg.pos_embed_max_size
             table = self.pos.reshape(m, m, D)
             top, left = (m - gh) // 2, (m - gw) // 2
             pos = table[top : top + gh, left : left + gw].reshape(1, gh * gw, D)
@@ -229,8 +240,8 @@ class TorchMMDiT(nn.Module):
         hq = F.layer_norm(hq.float(), (D,), eps=1e-6) * (1 + scale[:, None]) + shift[:, None]
         out = self.proj_out(hq)
         # unpatchify to NCHW
-        out = out.reshape(b, gh, gw, P, P, CFG.out_channels)
-        out = out.permute(0, 5, 1, 3, 2, 4).reshape(b, CFG.out_channels, hh, ww)
+        out = out.reshape(b, gh, gw, P, P, cfg.out_channels)
+        out = out.permute(0, 5, 1, 3, 2, 4).reshape(b, cfg.out_channels, hh, ww)
         return out
 
 
@@ -295,10 +306,9 @@ def _torch_to_diffusers_sd(model: TorchMMDiT) -> dict:
     return sd
 
 
-def test_mmdit_matches_torch_oracle():
-    torch.manual_seed(0)
-    oracle = TorchMMDiT().eval()
-    # give the zero-init branches real values so the control path is exercised
+def _seed_control_branches(oracle):
+    """Give the zero-init branches real values so the control path is
+    exercised."""
     with torch.no_grad():
         for blk in oracle.blocks:
             for m in [blk.q_c, blk.k_c, blk.v_c] + (
@@ -309,17 +319,18 @@ def test_mmdit_matches_torch_oracle():
             blk.ctrl_conv.weight.normal_(0, 0.05)
             blk.ctrl_conv.bias.normal_(0, 0.02)
 
+
+def _compare(cfg, oracle, latent_hw, text_len=6, b=2, tol=5e-4):
     sd = _torch_to_diffusers_sd(oracle)
-    params = jax.tree.map(jnp.asarray, W.convert_mmdit(sd, CFG))
-    model = MMDiT(CFG)
+    params = jax.tree.map(jnp.asarray, W.convert_mmdit(sd, cfg))
+    model = MMDiT(cfg)
 
     rng = np.random.default_rng(0)
-    B, S = 2, CFG.sample_size
-    lat = rng.normal(size=(B, CFG.in_channels, S, S)).astype(np.float32)
-    ctrl = rng.normal(size=(B, CFG.in_channels, S, S)).astype(np.float32)
-    txt = rng.normal(size=(B, 6, CFG.joint_attention_dim)).astype(np.float32)
-    pooled = rng.normal(size=(B, CFG.pooled_projection_dim)).astype(np.float32)
-    t = rng.uniform(0, 1000, size=(B,)).astype(np.float32)
+    lat = rng.normal(size=(b, cfg.in_channels, *latent_hw)).astype(np.float32)
+    ctrl = rng.normal(size=(b, cfg.in_channels, *latent_hw)).astype(np.float32)
+    txt = rng.normal(size=(b, text_len, cfg.joint_attention_dim)).astype(np.float32)
+    pooled = rng.normal(size=(b, cfg.pooled_projection_dim)).astype(np.float32)
+    t = rng.uniform(0, 1000, size=(b,)).astype(np.float32)
 
     with torch.no_grad():
         ref = oracle(
@@ -336,4 +347,32 @@ def test_mmdit_matches_torch_oracle():
         jnp.asarray(t),
     )
     got = np.asarray(out).transpose(0, 3, 1, 2)
-    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(got, ref, rtol=tol, atol=tol)
+
+
+def test_mmdit_matches_torch_oracle():
+    torch.manual_seed(0)
+    oracle = TorchMMDiT(CFG_TINY).eval()
+    _seed_control_branches(oracle)
+    _compare(CFG_TINY, oracle, (CFG_TINY.sample_size, CFG_TINY.sample_size))
+
+
+def test_mmdit_full_width_and_pos_crop_parity():
+    """SD3.5-medium WIDTH (1536 dim, 24 heads x 64, fp32) with one dual +
+    one standard + the final block, and the 96-max pos-embed table cropped
+    for 32x32 (latent 64) and 48x48 (latent 96) token grids — the geometry
+    round 1 never checked numerically."""
+    cfg = MMDiTConfig(
+        sample_size=128,              # pos table built for grid 64, max 96
+        num_layers=3,
+        dual_attention_layers=(0,),
+        dtype=jnp.float32,
+    )
+    assert cfg.inner_dim == 1536 and cfg.num_attention_heads == 24
+    torch.manual_seed(1)
+    oracle = TorchMMDiT(cfg).eval()
+    _seed_control_branches(oracle)
+    # full-width sums lose a little more precision; tolerance stays tight
+    # relative to activation scale
+    _compare(cfg, oracle, (64, 64), b=1, tol=2e-3)
+    _compare(cfg, oracle, (96, 96), b=1, tol=2e-3)
