@@ -253,6 +253,10 @@ class TESTRConfig:
     # "auto" matcher: exact host Hungarian on CPU, on-device auction on TPU
     # (axon does not support host callbacks)
     matcher_impl: str = "auto"
+    # deformable-attention sampling backend: "auto" = Pallas VMEM-gather
+    # kernel on TPU (ops/deform_attn.py), XLA gather on CPU / non-uniform
+    # levels; "xla" / "pallas" force one.
+    deform_impl: str = "auto"
 
     def with_(self, **kw) -> "TESTRConfig":
         return dataclasses.replace(self, **kw)

@@ -88,14 +88,44 @@ class MetricBank:
             self._try_load_learned(weights_dir)
 
     def _try_load_learned(self, weights_dir: str):
+        """Activate learned metrics whose converted .npz weights exist.
+
+        File names mirror the reference's pyiqa metric names
+        (test/test.py:162-169): lpips_alex.npz, dists.npz, clipiqa.npz,
+        maniqa.npz, musiq.npz."""
         import os
 
-        lpips_path = os.path.join(weights_dir, "lpips_alex.npz")
-        if os.path.exists(lpips_path):
+        def present(name):
+            return os.path.exists(os.path.join(weights_dir, name))
+
+        def path(name):
+            return os.path.join(weights_dir, name)
+
+        if present("lpips_alex.npz"):
             from dit4sr_tpu.eval.lpips import make_lpips
 
-            self.full_ref["lpips"] = make_lpips(lpips_path)
+            self.full_ref["lpips"] = make_lpips(path("lpips_alex.npz"))
             self.unavailable.remove("lpips")
+        if present("dists.npz"):
+            from dit4sr_tpu.eval.dists import make_dists
+
+            self.full_ref["dists"] = make_dists(path("dists.npz"))
+            self.unavailable.remove("dists")
+        if present("clipiqa.npz"):
+            from dit4sr_tpu.eval.clipiqa import make_clipiqa
+
+            self.no_ref["clipiqa"] = make_clipiqa(path("clipiqa.npz"))
+            self.unavailable.remove("clipiqa")
+        if present("maniqa.npz"):
+            from dit4sr_tpu.eval.maniqa import make_maniqa
+
+            self.no_ref["maniqa"] = make_maniqa(path("maniqa.npz"))
+            self.unavailable.remove("maniqa")
+        if present("musiq.npz"):
+            from dit4sr_tpu.eval.musiq import make_musiq
+
+            self.no_ref["musiq"] = make_musiq(path("musiq.npz"))
+            self.unavailable.remove("musiq")
 
     def compute(self, pred: jnp.ndarray, gt: Optional[jnp.ndarray]) -> Dict[str, np.ndarray]:
         out = {}

@@ -28,7 +28,7 @@ import numpy as np
 from flax import linen as nn
 
 from dit4sr_tpu.config import TESTRConfig
-from dit4sr_tpu.ops.deform_attn import ms_deform_attn_core
+from dit4sr_tpu.ops.deform_attn import ms_deform_attn
 
 
 # ---------------------------------------------------------------------------
@@ -200,7 +200,9 @@ class MSDeformAttn(nn.Module):
                 + offsets / P * reference_points[:, :, None, :, None, 2:] * 0.5
             )
 
-        out = ms_deform_attn_core(value, self.spatial_shapes, loc, weights)
+        out = ms_deform_attn(
+            value, self.spatial_shapes, loc, weights, impl=cfg.deform_impl
+        )
         return nn.Dense(d, name="output_proj")(out)
 
 

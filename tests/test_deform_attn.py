@@ -71,3 +71,57 @@ def test_gradients_flow():
         assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(gv).max()) > 0
     assert float(jnp.abs(gl).max()) > 0
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_matches_xla_core(seed):
+    """Pallas VMEM-gather kernel (interpret mode on CPU) vs the XLA core:
+    values and all three gradients, including out-of-range locations."""
+    import jax
+
+    from dit4sr_tpu.ops.deform_attn import ms_deform_attn
+
+    rng = np.random.default_rng(seed)
+    B, M, D, Q, P = 2, 2, 8, 7, 3
+    shapes = [(6, 8), (6, 8)]  # uniform levels (pallas requirement)
+    S = sum(h * w for h, w in shapes)
+    L = len(shapes)
+
+    value = jnp.asarray(rng.normal(size=(B, S, M, D)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, size=(B, Q, M, L, P, 2)), jnp.float32)
+    w = jnp.asarray(rng.uniform(size=(B, Q, M, L, P)), jnp.float32)
+    w = w / w.sum(axis=(-2, -1), keepdims=True)
+
+    ref = np.asarray(ms_deform_attn_core(value, shapes, loc, w))
+    got = np.asarray(ms_deform_attn(value, shapes, loc, w, impl="pallas"))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def loss(fn):
+        return lambda v, l, a: jnp.sum(fn(v, shapes, l, a) ** 2)
+
+    g_ref = jax.grad(loss(ms_deform_attn_core), argnums=(0, 1, 2))(value, loc, w)
+    g_new = jax.grad(
+        loss(lambda v, s, l, a: ms_deform_attn(v, s, l, a, impl="pallas")),
+        argnums=(0, 1, 2),
+    )(value, loc, w)
+    for a, b, name in zip(g_new, g_ref, ("dvalue", "dloc", "dweights")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5, err_msg=name
+        )
+
+
+def test_pallas_q_padding():
+    """Q not a multiple of the query block exercises the pad/crop path."""
+    from dit4sr_tpu.ops.deform_attn import ms_deform_attn
+
+    rng = np.random.default_rng(3)
+    B, M, D, Q, P = 1, 2, 4, 130, 2  # 130 > _QB=128 -> 2 blocks, 126 pad rows
+    shapes = [(4, 4)]
+    S = 16
+    value = jnp.asarray(rng.normal(size=(B, S, M, D)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(0, 1, size=(B, Q, M, 1, P, 2)), jnp.float32)
+    w = jnp.asarray(rng.uniform(size=(B, Q, M, 1, P)), jnp.float32)
+
+    ref = np.asarray(ms_deform_attn_core(value, shapes, loc, w))
+    got = np.asarray(ms_deform_attn(value, shapes, loc, w, impl="pallas"))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
