@@ -35,6 +35,7 @@ from dit4sr_tpu.models.norms import (
     AdaLayerNormZero,
     AdaLayerNormZeroX,
     RMSNorm,
+    bcast_mod,
     layer_norm,
 )
 from dit4sr_tpu.ops.attention import attention, merge_heads, split_heads
@@ -57,7 +58,7 @@ class JointAttention(nn.Module):
     @nn.compact
     def __call__(
         self,
-        stream_x: jnp.ndarray,            # (B, S*N, D) concat image streams
+        stream_x: jnp.ndarray,            # (B, S, N, D) stream-axis layout
         text_x: Optional[jnp.ndarray],    # (B, T, D) or None (dual attn)
         text_mask: Optional[jnp.ndarray] = None,  # (B, T) bool
     ):
@@ -81,23 +82,27 @@ class JointAttention(nn.Module):
         else:
             norm_q = norm_k = lambda x: x  # noqa: E731
 
-        xs = jnp.split(stream_x, S, axis=1)
+        # streams live on their own axis: per-stream access is a leading-axis
+        # index (an XLA bitcast), not a token slice — the previous
+        # token-concat layout cost ~7 GB/fwd in slice/copy plumbing.
+        xs = [stream_x[:, i] for i in range(S)]
         n_img = xs[0].shape[1]
 
-        # one base projection over the full stream concat (a single
-        # (S*N, D)x(D, D) matmul feeds the MXU better than S separate ones);
-        # the zero-init composed projections then act on per-stream slices
-        # (attention.py:463-477). With cfg.folded_control, the base+control
-        # composition is pre-multiplied into to_*_{stream} (see
-        # fold_control_projections), so base projections only run on hq.
+        # one base projection over all streams (a single (S*N, D)x(D, D)
+        # matmul feeds the MXU better than S separate ones); the zero-init
+        # composed projections then act per stream (attention.py:463-477).
+        # With cfg.folded_control, the base+control composition is
+        # pre-multiplied into to_*_{stream} (see fold_control_projections),
+        # so base projections only run on hq.
         if cfg.folded_control:
             base_q = [to_q(xs[0])] + xs[1:]
             base_k = [to_k(xs[0])] + xs[1:]
             base_v = [to_v(xs[0])] + xs[1:]
         else:
-            base_q = jnp.split(to_q(stream_x), S, axis=1)
-            base_k = jnp.split(to_k(stream_x), S, axis=1)
-            base_v = jnp.split(to_v(stream_x), S, axis=1)
+            bq, bk, bv = to_q(stream_x), to_k(stream_x), to_v(stream_x)
+            base_q = [bq[:, i] for i in range(S)]
+            base_k = [bk[:, i] for i in range(S)]
+            base_v = [bv[:, i] for i in range(S)]
 
         qs, ks, vs = [], [], []
         for i, name in enumerate(cfg.streams):
@@ -150,7 +155,7 @@ class JointAttention(nn.Module):
             if text_mask is not None:
                 img_true = jnp.ones(
                     (stream_x.shape[0], S * n_img), dtype=jnp.bool_
-                )
+                )  # noqa: E501 (joint attention still runs over the token concat)
                 key_mask = jnp.concatenate([img_true, text_mask], axis=1)
 
         # head-sharding over the mesh 'tensor' axis (no-op single chip);
@@ -192,22 +197,22 @@ class JointAttention(nn.Module):
                 )
             )
 
-        img_out = out[:, : S * n_img]
+        B = stream_x.shape[0]
+        img_out = out[:, : S * n_img].reshape(B, S, n_img, D)
         if text_x is not None:
             # slice the true text length (drops any alignment padding)
             text_out = out[:, S * n_img : S * n_img + text_x.shape[1]]
         else:
             text_out = out[:, S * n_img :]
-        outs = jnp.split(img_out, S, axis=1)
 
-        final = [to_out(outs[0])]
+        final = [to_out(img_out[:, 0])]
         for i, name in enumerate(cfg.streams[1:], start=1):
             # residual of the normed input before the control out projection
             # (attention.py:543-552); to_out_<s> starts as a copy of to_out
             # (done by init surgery / weight conversion, attention.py:429-431)
-            final.append(dense(f"to_out_{name}")(outs[i] + xs[i]))
+            final.append(dense(f"to_out_{name}")(img_out[:, i] + xs[i]))
 
-        img = jnp.concatenate(final, axis=1)
+        img = jnp.stack(final, axis=1)
         if text_x is None:
             return img, None
         if self.context_pre_only:
@@ -260,7 +265,7 @@ class StreamFFN(nn.Module):
     cfg: MMDiTConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, S*N, D)
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, S, N, D)
         cfg = self.cfg
         D = cfg.inner_dim
         hidden_dim = 4 * D
@@ -270,8 +275,9 @@ class StreamFFN(nn.Module):
         h = shard_ffn_hidden(nn.gelu(h, approximate=True))
 
         if cfg.ffn_couplings:
-            S = cfg.num_streams
-            cur = dict(zip(cfg.streams, jnp.split(h, S, axis=1)))
+            # stream-axis layout: coupling sources/destinations are leading-
+            # axis indices, no token splits/concats
+            cur = {name: h[:, i] for i, name in enumerate(cfg.streams)}
             n = cur["hq"].shape[1]
             side = int(round(n ** 0.5))
             assert side * side == n, "stream token count must be a square grid"
@@ -284,7 +290,7 @@ class StreamFFN(nn.Module):
                 cur[dst] = cur[dst] + cond
             # non-hq streams pass through their *pre-in-coupling* values except
             # when they are coupling destinations (ocr in ocr2hq2ocr)
-            h = jnp.concatenate([cur[s] for s in cfg.streams], axis=1)
+            h = jnp.stack([cur[s] for s in cfg.streams], axis=1)
 
         return nn.Dense(
             D, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="proj_out"
@@ -357,15 +363,16 @@ class JointBlock(nn.Module):
             cfg, context_pre_only=self.context_pre_only, name="attn"
         )(normed, normed_text, text_mask)
 
-        stream_x = stream_x + gate_msa[:, None, :] * attn_out
+        b4 = lambda v: bcast_mod(v, stream_x.ndim)  # noqa: E731
+        stream_x = stream_x + b4(gate_msa) * attn_out
 
         if self.use_dual_attention:
             attn2_out, _ = JointAttention(cfg, name="attn2")(normed2, None)
-            stream_x = stream_x + gate_msa2[:, None, :] * attn2_out
+            stream_x = stream_x + b4(gate_msa2) * attn2_out
 
-        ff_in = layer_norm(stream_x) * (1 + scale_mlp[:, None, :]) + shift_mlp[:, None, :]
+        ff_in = layer_norm(stream_x) * (1 + b4(scale_mlp)) + b4(shift_mlp)
         ff_out = StreamFFN(cfg, name="ff")(ff_in)
-        stream_x = stream_x + gate_mlp[:, None, :] * ff_out
+        stream_x = stream_x + b4(gate_mlp) * ff_out
 
         if self.context_pre_only:
             new_text = text_x
@@ -385,14 +392,14 @@ class JointBlock(nn.Module):
 
 def _extract_slice(cfg: MMDiTConfig, stream_x: jnp.ndarray) -> jnp.ndarray:
     """Per-layer feature slice for the text-spotting head
-    (attention.py:353-374)."""
-    n = stream_x.shape[1] // cfg.num_streams
+    (attention.py:353-374). Input (B, S, N, D); output keeps the historic
+    token-concat layout the TESTR head consumes."""
+    B, _, n, D = stream_x.shape
     idx = {"hq": 0, "control": 1, "ocr": 2}
     if cfg.feat_extract == "hq+control":
-        feat = stream_x[:, 0 : 2 * n]
+        feat = stream_x[:, 0:2].reshape(B, 2 * n, D)
     else:
-        i = idx[cfg.feat_extract]
-        feat = stream_x[:, i * n : (i + 1) * n]
+        feat = stream_x[:, idx[cfg.feat_extract]]
     if cfg.feat_extract_stop_gradient:
         feat = jax.lax.stop_gradient(feat)
     return feat
@@ -436,7 +443,7 @@ class MMDiT(nn.Module):
         parts = [pos_embed(hidden_states)]
         for _name in cfg.streams[1:]:
             parts.append(pos_embed(control_image))
-        stream_x = jnp.concatenate(parts, axis=1)
+        stream_x = jnp.stack(parts, axis=1)          # (B, S, N, D)
 
         temb = TimeTextEmbed(
             embedding_dim=cfg.inner_dim,
@@ -467,7 +474,7 @@ class MMDiT(nn.Module):
             if extract_features and i in cfg.feat_extract_layers:
                 feats.append(_extract_slice(cfg, stream_x))
 
-        hq = jnp.split(stream_x, cfg.num_streams, axis=1)[0]
+        hq = stream_x[:, 0]
         hq = AdaLayerNormContinuous(
             cfg.inner_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
             name="norm_out",

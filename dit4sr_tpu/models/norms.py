@@ -24,6 +24,12 @@ def layer_norm(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
+def bcast_mod(v: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Broadcast a (B, D) modulation vector against a (B, ..., D) tensor of
+    arbitrary rank (the MMDiT carries streams on their own axis)."""
+    return v.reshape(v.shape[0], *(1,) * (ndim - 2), v.shape[-1])
+
+
 class RMSNorm(nn.Module):
     """RMSNorm with learned scale over the trailing dim (qk-norm in SD3.5)."""
 
@@ -56,7 +62,8 @@ class AdaLayerNormZero(nn.Module):
             mod, 6, axis=-1
         )
         normed = layer_norm(x)
-        out = normed * (1 + scale_msa[:, None, :]) + shift_msa[:, None, :]
+        b = lambda v: bcast_mod(v, x.ndim)  # noqa: E731
+        out = normed * (1 + b(scale_msa)) + b(shift_msa)
         return out, gate_msa, shift_mlp, scale_mlp, gate_mlp
 
 
@@ -79,8 +86,9 @@ class AdaLayerNormZeroX(nn.Module):
             shift_msa2, scale_msa2, gate_msa2,
         ) = jnp.split(mod, 9, axis=-1)
         normed = layer_norm(x)
-        out = normed * (1 + scale_msa[:, None, :]) + shift_msa[:, None, :]
-        out2 = normed * (1 + scale_msa2[:, None, :]) + shift_msa2[:, None, :]
+        b = lambda v: bcast_mod(v, x.ndim)  # noqa: E731
+        out = normed * (1 + b(scale_msa)) + b(shift_msa)
+        out2 = normed * (1 + b(scale_msa2)) + b(shift_msa2)
         return out, gate_msa, shift_mlp, scale_mlp, gate_mlp, out2, gate_msa2
 
 
@@ -98,4 +106,6 @@ class AdaLayerNormContinuous(nn.Module):
             2 * self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="linear"
         )(nn.silu(temb))
         scale, shift = jnp.split(mod, 2, axis=-1)
-        return layer_norm(x) * (1 + scale[:, None, :]) + shift[:, None, :]
+        return (
+            layer_norm(x) * (1 + bcast_mod(scale, x.ndim)) + bcast_mod(shift, x.ndim)
+        )

@@ -51,5 +51,6 @@ def shard_tokens(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def shard_ffn_hidden(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, N, 4D) FFN hidden: split the hidden dim over tensor."""
-    return constrain(x, ("data", "fsdp"), None, "tensor")
+    """(B, ..., 4D) FFN hidden: split the hidden dim over tensor (rank-
+    agnostic: the MMDiT carries streams on their own axis)."""
+    return constrain(x, ("data", "fsdp"), *([None] * (x.ndim - 2)), "tensor")
