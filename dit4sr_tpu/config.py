@@ -324,6 +324,10 @@ class TrainConfig:
         "v_control",
         "out_control",
     )
+    # separate list for the spotter, like the reference's per-module
+    # ts_module.finetune_layer_names (initialize.py:533-543); empty = the
+    # whole TESTR trains (the only mode the reference supports)
+    testr_finetune_layer_names: Tuple[str, ...] = ()
     # logit-normal timestep sampling (train_dit4sr.py:247-256)
     weighting_scheme: str = "logit_normal"
     logit_mean: float = 0.0
@@ -333,6 +337,11 @@ class TrainConfig:
     null_text_ratio: float = 0.1
     seed: int = 42
     checkpointing_steps: int = 500
+    # store FROZEN params in the model's compute dtype (bf16) instead of the
+    # fp32 master layout: they are never updated, and the forward casts to
+    # compute dtype anyway — saves ~4.7 GB at SD3.5-medium size, which is
+    # what lets full-geometry finetuning fit one 16 GB v5e chip
+    frozen_params_in_compute_dtype: bool = False
     optim: OptimConfig = field(default_factory=OptimConfig)
 
 

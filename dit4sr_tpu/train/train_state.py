@@ -2,8 +2,10 @@
 
 Mirrors the reference's optimizer semantics (initialize.py:460-590):
   * `finetune_layer_names` substring match on parameter paths decides
-    trainability (load_model_params :460-558) — here an optax mask that
-    zeroes updates for frozen params;
+    trainability (load_model_params :460-558) — params are PARTITIONED into
+    (trainable, frozen) trees; grads, optimizer state, and the clip norm
+    exist only for the trainable tree (the reference builds the optimizer
+    from requires_grad params only);
   * per-module learning rates (DiT lr vs TESTR lr, load_optim :563-590) via
     optax.multi_transform keyed on the top-level module;
   * global-norm clipping (train_dit4sr.py:398) and gradient accumulation
@@ -21,18 +23,54 @@ from flax import traverse_util
 from dit4sr_tpu.config import OptimConfig, TrainConfig
 
 
-def trainable_mask(params, finetune_layer_names: Sequence[str]):
+def trainable_mask(
+    params,
+    finetune_layer_names: Sequence[str],
+    testr_finetune_layer_names: Sequence[str] = (),
+):
     """True where the flattened param path contains any finetune substring.
-    Empty list = everything trainable (reference initialize.py:505-517)."""
+    Empty list = everything trainable (reference initialize.py:505-517).
+
+    The DiT list applies to everything EXCEPT a top-level "testr" subtree,
+    which gets its own list — the reference keeps separate finetune lists per
+    module and trains the whole spotter when its list is empty
+    (initialize.py:533-543); applying the DiT substrings to TESTR would
+    silently freeze it in stage2/3."""
+
+    def _match(k: str, names: Sequence[str]) -> bool:
+        return True if not names else any(s in k for s in names)
+
     flat = traverse_util.flatten_dict(params, sep="/")
-    if not finetune_layer_names:
-        mask_flat = {k: True for k in flat}
-    else:
-        mask_flat = {
-            k: any(s in k for s in finetune_layer_names) for k in flat
-        }
+    mask_flat = {
+        k: _match(
+            k,
+            testr_finetune_layer_names
+            if k.split("/", 1)[0] == "testr"
+            else finetune_layer_names,
+        )
+        for k in flat
+    }
     return traverse_util.unflatten_dict(
         {tuple(k.split("/")): v for k, v in mask_flat.items()}
+    )
+
+
+def partition_params(params, mask) -> Tuple[Any, Any]:
+    """Split params into (trainable, frozen) trees with None holes. The train
+    step differentiates only the trainable tree, so XLA never builds the
+    weight-gradient matmuls for frozen params; the optimizer state covers only
+    the trainable tree (fp32 Adam moments for all 2.59B params would be
+    ~21 GB — more than one chip's HBM)."""
+    t = jax.tree.map(lambda p, m: p if m else None, params, mask)
+    f = jax.tree.map(lambda p, m: None if m else p, params, mask)
+    return t, f
+
+
+def combine_params(t, f):
+    """Inverse of partition_params."""
+    return jax.tree.map(
+        lambda a, b: b if a is None else a, t, f,
+        is_leaf=lambda x: x is None,
     )
 
 
@@ -110,9 +148,20 @@ def make_optimizer(
         )
 
     lrs = dict(lr_overrides or {})
-    top_keys = list(params.keys()) if isinstance(params, dict) else []
+    mask = trainable_mask(
+        params, cfg.finetune_layer_names,
+        getattr(cfg, "testr_finetune_layer_names", ()),
+    )
+    trainable, _ = partition_params(params, mask)
+
+    # tx operates on the TRAINABLE-partitioned tree only (None holes for
+    # frozen params): optimizer state exists only for trainable params, the
+    # clip norm covers only trainable grads — both matching the reference,
+    # which builds the optimizer from requires_grad params and clips
+    # params_to_clip (initialize.py:563-590, train_dit4sr.py:398)
+    top_keys = list(trainable.keys()) if isinstance(trainable, dict) else []
     if top_keys and ("mmdit" in top_keys or "testr" in top_keys):
-        labels = {k: jax.tree.map(lambda _: k, v) for k, v in params.items()}
+        labels = {k: jax.tree.map(lambda _, kk=k: kk, v) for k, v in trainable.items()}
         transforms = {
             k: adamw(lrs.get(k, oc.testr_lr if k == "testr" else oc.lr))
             for k in top_keys
@@ -121,18 +170,7 @@ def make_optimizer(
     else:
         base = adamw(oc.lr)
 
-    mask = trainable_mask(params, cfg.finetune_layer_names)
-    frozen = jax.tree.map(lambda m: not m, mask)
-    # frozen-param grads are zeroed BEFORE the clip so the global norm covers
-    # only trainable params — the reference clips params_to_clip only
-    # (train_dit4sr.py:398 accelerator.clip_grad_norm_); clipping the full
-    # tree would deflate trainable updates whenever frozen grads are large
-    tx = optax.chain(
-        optax.masked(optax.set_to_zero(), frozen),
-        optax.clip_by_global_norm(oc.max_grad_norm),
-        base,
-        optax.masked(optax.set_to_zero(), frozen),  # keep frozen params exact
-    )
+    tx = optax.chain(optax.clip_by_global_norm(oc.max_grad_norm), base)
     if cfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
     return tx, mask

@@ -88,14 +88,25 @@ def make_train_step(
     train_cfg: TrainConfig,
     sched_cfg: SchedulerConfig = SchedulerConfig(),
     ocr_loss_fn: Optional[Callable] = None,
+    mask=None,
 ) -> Callable:
     """Build the jittable (state, batch, rng[, ocr_targets]) -> (state, metrics)
     step. With `ocr_loss_fn` set, the per-stage loss mix follows
-    train_dit4sr.py:373-381 (stage1 diff, stage2 ocr, stage3 joint)."""
+    train_dit4sr.py:373-381 (stage1 diff, stage2 ocr, stage3 joint).
+
+    `mask` is the trainability pytree from make_optimizer: the step
+    differentiates only the trainable partition (so frozen weight-grad
+    matmuls never enter the graph) and `tx`/opt_state cover only that
+    partition. mask=None trains everything."""
+
+    from dit4sr_tpu.train.train_state import combine_params, partition_params
 
     need_feats = ocr_loss_fn is not None and train_cfg.stage in ("stage2", "stage3")
 
-    def loss_fn(params, batch: Batch, rng, ocr_targets):
+    def loss_fn(t_params, f_params, batch: Batch, rng, ocr_targets):
+        params = (
+            combine_params(t_params, f_params) if f_params is not None else t_params
+        )
         rng, rng_drop = jax.random.split(rng)
         mmdit_params = params["mmdit"] if "mmdit" in params else params
         diff_loss, (sigmas, feats) = flow_matching_loss(
@@ -123,19 +134,25 @@ def make_train_step(
 
     def train_step(state: TrainState, batch: Batch, rng: jax.Array, ocr_targets=None):
         rng = jax.random.fold_in(rng, state.step)
+        if mask is not None:
+            t_params, f_params = partition_params(state.params, mask)
+        else:
+            t_params, f_params = state.params, None
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng, ocr_targets
+            t_params, f_params, batch, rng, ocr_targets
         )
+        # trainable-only norm, matching the reference's clip_grad_norm_ over
+        # params_to_clip (train_dit4sr.py:398)
         gnorm = optax.global_norm(grads)
         metrics["grad_norm"] = gnorm
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        updates, opt_state = tx.update(grads, state.opt_state, t_params)
+        new_t = optax.apply_updates(t_params, updates)
         # failure containment the reference lacks (SURVEY.md §5): a step with
         # non-finite gradients is skipped instead of corrupting the params
         finite = jnp.isfinite(gnorm)
         metrics["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
-        params = jax.tree.map(
-            lambda new, old: jnp.where(finite, new, old), params, state.params
+        new_t = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), new_t, t_params
         )
         opt_state = jax.tree.map(
             lambda new, old: jnp.where(finite, new, old)
@@ -143,6 +160,9 @@ def make_train_step(
             else new,
             opt_state,
             state.opt_state,
+        )
+        params = (
+            combine_params(new_t, f_params) if mask is not None else new_t
         )
         return TrainState(params, opt_state, state.step + 1), metrics
 

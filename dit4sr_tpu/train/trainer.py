@@ -162,6 +162,11 @@ class Trainer:
             params["testr"] = testr_params
 
         self.tx, self.mask = make_optimizer(params, self.train_cfg)
+        if self.train_cfg.frozen_params_in_compute_dtype:
+            dt = self.model_cfg.dtype
+            params = jax.tree.map(
+                lambda p, m: p if m else p.astype(dt), params, self.mask
+            )
         train_n, total_n = count_trainable(params, self.mask)
         self.logger.log(0, {"trainable_params": train_n, "total_params": total_n})
 
@@ -169,9 +174,15 @@ class Trainer:
         if self.spotter is not None and self.train_cfg.stage in ("stage2", "stage3"):
             ocr_fn = make_ocr_loss_fn(self.spotter, self.model_cfg)
         self.train_step = jax.jit(
-            make_train_step(self.mmdit, self.tx, self.train_cfg, self.sched_cfg, ocr_fn)
+            make_train_step(
+                self.mmdit, self.tx, self.train_cfg, self.sched_cfg, ocr_fn,
+                mask=self.mask,
+            )
         )
-        return TrainState(params, self.tx.init(params), jnp.zeros((), jnp.int32))
+        from dit4sr_tpu.train.train_state import partition_params
+
+        opt_state = self.tx.init(partition_params(params, self.mask)[0])
+        return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
 
     def make_preprocess_fn(self) -> Callable:
         """Jitted (vae_params, rng, gt_images, degradation_params) ->
@@ -260,6 +271,7 @@ class Trainer:
 
         from dit4sr_tpu.data.degradation import sample_params
 
+        t_prev = None
         for batch in batches:
             step = int(state.step)
             if step >= target:
@@ -282,6 +294,13 @@ class Trainer:
             )
 
             if step % 10 == 0 or step == target - 1:
+                # hard-sync on a scalar so sec_per_step is honest (axon's
+                # block_until_ready can return early, CLAUDE.md)
+                float(jnp.asarray(metrics["total_loss"]).astype(jnp.float32))
+                now = time.perf_counter()
+                if t_prev is not None:
+                    metrics["sec_per_step"] = (now - t_prev[1]) / (step - t_prev[0])
+                t_prev = (step, now)
                 self.logger.log(step, metrics)
             if (step + 1) % self.train_cfg.checkpointing_steps == 0:
                 self.ckpt.save(step + 1, state)

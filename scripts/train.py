@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--wandb", action="store_true")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny geometry + synthetic data, 2 steps")
+    ap.add_argument("--rehearse", action="store_true",
+                    help="FULL geometry on synthetic data (B=2, frozen "
+                         "params stored bf16): proves the training loop + "
+                         "checkpoint/resume on real hardware without assets")
     args = ap.parse_args()
 
     from dit4sr_tpu.bootstrap import (
@@ -120,6 +124,17 @@ def main():
         )
         crop_size, latent_size, text_len = 64, 16, 16
         num_steps = num_steps or 2
+    elif args.rehearse:
+        import dataclasses
+
+        train_cfg = dataclasses.replace(
+            train_cfg,
+            batch_size=2,
+            gradient_accumulation_steps=1,
+            checkpointing_steps=50,
+            frozen_params_in_compute_dtype=True,
+        )
+        num_steps = num_steps or 150
 
     out_dir = args.out_dir or os.path.join(
         "runs", os.path.splitext(os.path.basename(args.config))[0]
@@ -133,9 +148,9 @@ def main():
 
     # data
     data = raw.get("data", {})
-    if args.smoke:
+    if args.smoke or args.rehearse:
         records = make_synthetic_records(
-            8, image_size=crop_size,
+            8 if args.smoke else 32, image_size=crop_size,
             num_ctrl_points=testr_cfg.num_ctrl_points if testr_cfg else 16,
         )
     else:

@@ -11,6 +11,7 @@ from dit4sr_tpu.parallel.mesh import fsdp_shard_params, make_mesh
 from dit4sr_tpu.train.train_state import (
     count_trainable,
     make_optimizer,
+    partition_params,
     trainable_mask,
 )
 from dit4sr_tpu.train.train_step import Batch, TrainState, make_train_step
@@ -25,8 +26,10 @@ def _setup(train_kw=None):
         stage="stage1", gradient_accumulation_steps=1, **(train_kw or {})
     )
     tx, mask = make_optimizer(params, tcfg)
-    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
-    step = make_train_step(model, tx, tcfg)
+    state = TrainState(
+        params, tx.init(partition_params(params, mask)[0]), jnp.zeros((), jnp.int32)
+    )
+    step = make_train_step(model, tx, tcfg, mask=mask)
     return cfg, model, state, step, mask
 
 
