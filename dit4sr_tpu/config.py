@@ -353,19 +353,22 @@ class TrainConfig:
 @dataclass(frozen=True)
 class MeshConfig:
     """Logical mesh axes. The reference only has DDP (SURVEY.md §2.3); here a
-    single mesh gives data, fsdp (param/optimizer sharding), and tensor axes."""
+    single mesh gives data, fsdp (param/optimizer sharding), tensor
+    (head/FFN-hidden sharding, up to num_heads chips), and seq (ring
+    attention over the token axis, parallel/ring_attention.py) axes."""
 
     data: int = 1
     fsdp: int = 1
     tensor: int = 1
+    seq: int = 1
 
     @property
     def axis_names(self) -> Tuple[str, ...]:
-        return ("data", "fsdp", "tensor")
+        return ("data", "fsdp", "tensor", "seq")
 
     @property
     def shape(self) -> Tuple[int, ...]:
-        return (self.data, self.fsdp, self.tensor)
+        return (self.data, self.fsdp, self.tensor, self.seq)
 
 
 # ---------------------------------------------------------------------------

@@ -68,7 +68,27 @@ def attention(
     `valid_len` statically masks trailing pad keys (callers that align N to
     the flash block size themselves).
     """
-    if impl == "auto":
+    if impl in ("auto", "ring"):
+        # sequence-parallel plan: token axis sharded over the mesh 'seq'
+        # axis -> exact ring attention (parallel/ring_attention.py)
+        from dit4sr_tpu.parallel.sharding import _current_mesh
+
+        mesh = _current_mesh()
+        if (
+            mesh is not None
+            and mesh.shape.get("seq", 1) > 1
+            and key_mask is None
+        ):
+            from dit4sr_tpu.parallel.ring_attention import (
+                ring_attention_sharded,
+            )
+
+            return ring_attention_sharded(q, k, v, mesh, valid_len=valid_len)
+        if impl == "ring":
+            raise ValueError(
+                "impl='ring' needs an active mesh with a 'seq' axis > 1 "
+                "and no runtime key_mask"
+            )
         impl = "pallas" if jax.default_backend() != "cpu" else "xla"
     if valid_len is not None and valid_len < q.shape[2] and impl != "pallas":
         tail = jnp.arange(q.shape[2]) < valid_len
