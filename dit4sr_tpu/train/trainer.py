@@ -163,21 +163,32 @@ class Trainer:
 
         self.tx, self.mask = make_optimizer(params, self.train_cfg)
         if self.train_cfg.frozen_params_in_compute_dtype:
+            # donate the fp32 tree into the cast so XLA frees each fp32
+            # buffer as its bf16 copy is produced — an eager astype would
+            # hold BOTH full trees (~16 GB at SD3.5-medium) and OOM the
+            # chip. NOTE: consumes the caller's param buffers.
             dt = self.model_cfg.dtype
-            params = jax.tree.map(
-                lambda p, m: p if m else p.astype(dt), params, self.mask
-            )
+            mask = self.mask
+            params = jax.jit(
+                lambda p: jax.tree.map(
+                    lambda x, m: x if m else x.astype(dt), p, mask
+                ),
+                donate_argnums=0,
+            )(params)
         train_n, total_n = count_trainable(params, self.mask)
         self.logger.log(0, {"trainable_params": train_n, "total_params": total_n})
 
         ocr_fn = None
         if self.spotter is not None and self.train_cfg.stage in ("stage2", "stage3"):
             ocr_fn = make_ocr_loss_fn(self.spotter, self.model_cfg)
+        # donate the state: params/opt_state update in place, halving peak
+        # memory (old+new trees alive across apply_updates otherwise)
         self.train_step = jax.jit(
             make_train_step(
                 self.mmdit, self.tx, self.train_cfg, self.sched_cfg, ocr_fn,
                 mask=self.mask,
-            )
+            ),
+            donate_argnums=0,
         )
         from dit4sr_tpu.train.train_state import partition_params
 

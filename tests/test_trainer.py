@@ -143,3 +143,37 @@ def test_in_training_validation(tmp_path):
         state, vparams, val_samples, _prompt_fn, jax.random.PRNGKey(2), num_steps=2
     )
     assert "full/psnr" in agg and np.isfinite(agg["full/psnr"])
+
+
+def test_frozen_params_stored_in_compute_dtype(tmp_path):
+    """frozen_params_in_compute_dtype: frozen leaves live in bf16, trainable
+    leaves keep the fp32 master, and training still runs + checkpoints."""
+    import dataclasses
+
+    from flax import traverse_util
+
+    trainer, mcfg, vcfg, _ = _mk_trainer(tmp_path, "stage1", with_testr=False)
+    trainer.train_cfg = dataclasses.replace(
+        trainer.train_cfg,
+        finetune_layer_names=("to_q",),  # freeze most of the model
+        frozen_params_in_compute_dtype=True,
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), text_len=TEXT_LEN, latent_size=8)
+
+    flat_p = traverse_util.flatten_dict(state.params, sep="/")
+    flat_m = traverse_util.flatten_dict(trainer.mask, sep="/")
+    froz = [k for k in flat_p if not flat_m[k]]
+    trn = [k for k in flat_p if flat_m[k]]
+    assert froz and trn
+    assert all(flat_p[k].dtype == mcfg.dtype for k in froz)
+    assert all(flat_p[k].dtype == jnp.float32 for k in trn)
+
+    vae = AutoencoderKL(vcfg)
+    vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, IMG, IMG, 3), vcfg.dtype))
+    state = trainer.fit(
+        state, _batches(n=2), vparams, _prompt_fn, jax.random.PRNGKey(2),
+        num_steps=2, resume=False,
+    )
+    assert int(state.step) == 2
+    new_flat = traverse_util.flatten_dict(state.params, sep="/")
+    assert all(new_flat[k].dtype == mcfg.dtype for k in froz)
