@@ -93,9 +93,20 @@ class Checkpointer:
         step = step if step is not None else self.mngr.latest_step()
         if step is None:
             return state_like
-        restored = self.mngr.restore(
-            step, args=ocp.args.StandardRestore(state_like._asdict())
-        )
+        try:
+            restored = self.mngr.restore(
+                step, args=ocp.args.StandardRestore(state_like._asdict())
+            )
+        except ValueError as e:
+            # a checkpoint written by an older train-state layout (e.g. the
+            # pre-partitioned optimizer) — resuming silently with wrong state
+            # would be worse than starting over; warn loudly and start fresh
+            print(
+                f"WARNING: checkpoint at {self.dir} step {step} does not "
+                f"match the current train-state structure ({e}); "
+                "starting from scratch"
+            )
+            return state_like
         return TrainState(**restored)
 
     def latest_step(self) -> Optional[int]:
