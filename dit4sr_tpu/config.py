@@ -253,6 +253,11 @@ class TESTRConfig:
     # "auto" matcher: exact host Hungarian on CPU, on-device auction on TPU
     # (axon does not support host callbacks)
     matcher_impl: str = "auto"
+    # prefilter each matching to the K lowest-min-cost queries before the
+    # solve (matcher.py solve_assignment): the stacked auction's per-round
+    # work is O(B*I*Q) and the encoder has Q=16k proposals for <=32 targets.
+    # 0 disables (exact full-Q solve).
+    matcher_topk: int = 256
     # deformable-attention sampling backend: "auto" = Pallas VMEM-gather
     # kernel on TPU (ops/deform_attn.py), XLA gather on CPU / non-uniform
     # levels; "xla" / "pallas" force one.

@@ -116,7 +116,11 @@ def criterion(
 
     all_costs = jnp.concatenate([pad_q(c) for c in dec_costs + [enc_cost]], axis=0)
     all_valid = jnp.tile(targets.valid, (n_layers + 1, 1))
-    all_matches = solve_assignment(all_costs, all_valid, cfg.matcher_impl)
+    # matcher_topk also bounds q_max for the stack: without it every decoder
+    # matching (Q=100) pays the encoder's 16k-proposal padding per round
+    all_matches = solve_assignment(
+        all_costs, all_valid, cfg.matcher_impl, topk=cfg.matcher_topk
+    )
     B = targets.valid.shape[0]
     dec_matches = [all_matches[l * B : (l + 1) * B] for l in range(n_layers)]
     enc_match = all_matches[n_layers * B :]

@@ -53,7 +53,8 @@ def _lsa_host(cost: np.ndarray, valid: np.ndarray) -> np.ndarray:
 
 
 def solve_assignment(
-    cost: jnp.ndarray, valid: jnp.ndarray, method: str = "auto"
+    cost: jnp.ndarray, valid: jnp.ndarray, method: str = "auto",
+    topk: int = 0,
 ) -> jnp.ndarray:
     """Minimum-cost assignment of each valid target to a distinct query.
 
@@ -65,19 +66,35 @@ def solve_assignment(
         required on platforms without host-callback support (the axon TPU
         runtime rejects pure_callback)
       * "auto"    — host on CPU, auction elsewhere
+
+    topk > 0 prefilters to the K queries with the lowest min-over-targets
+    cost before solving and maps indices back — the auction's per-round work
+    is O(B*I*Q), and the encoder matching has Q = 16k proposals for <= 32
+    targets. With K >> I the restricted optimum coincides with the full one
+    in practice (and the auction is eps-approximate anyway).
     """
     if method == "auto":
         method = "host" if jax.default_backend() == "cpu" else "auction"
+    B, Q, I = cost.shape
+    cand_idx = None
+    if topk and topk < Q:
+        per_q = jnp.where(valid[:, None, :], cost, jnp.inf).min(axis=-1)  # (B, Q)
+        _, cand_idx = jax.lax.top_k(-per_q, topk)                          # (B, K)
+        cost = jnp.take_along_axis(cost, cand_idx[:, :, None], axis=1)
     if method == "auction":
-        return auction_assignment(cost, valid)
-    B, _, I = cost.shape
-    return jax.pure_callback(
-        _lsa_host,
-        jax.ShapeDtypeStruct((B, I), jnp.int32),
-        cost,
-        valid,
-        vmap_method="sequential",
-    )
+        match = auction_assignment(cost, valid)
+    else:
+        match = jax.pure_callback(
+            _lsa_host,
+            jax.ShapeDtypeStruct((B, I), jnp.int32),
+            cost,
+            valid,
+            vmap_method="sequential",
+        )
+    if cand_idx is not None:
+        orig = jnp.take_along_axis(cand_idx, jnp.clip(match, 0, None), axis=1)
+        match = jnp.where(match >= 0, orig, -1).astype(jnp.int32)
+    return match
 
 
 def auction_assignment(

@@ -229,7 +229,7 @@ def test_unmatched_valid_targets_are_dropped_from_loss():
     # monkeypatch the solver to leave every target unmatched
     orig = L.solve_assignment
     try:
-        L.solve_assignment = lambda cost, valid, method="auto": jnp.full(
+        L.solve_assignment = lambda cost, valid, method="auto", topk=0: jnp.full(
             valid.shape, -1, jnp.int32
         )
         total, parts = L.criterion(cfg, out, targets)
@@ -242,3 +242,29 @@ def test_unmatched_valid_targets_are_dropped_from_loss():
     assert float(parts["loss_bbox_enc"]) == 0.0
     assert float(parts["loss_giou_enc"]) == 0.0
     assert np.isfinite(float(total))
+
+
+def test_solve_assignment_topk_prefilter_matches_full_solve():
+    """topk prefilter must reproduce the full solve when K >> I (and map
+    candidate indices back to original query ids)."""
+    rng = np.random.default_rng(0)
+    B, Q, I = 3, 500, 8
+    for trial in range(5):
+        cost = rng.normal(size=(B, Q, I)).astype(np.float32) * 2
+        valid = np.ones((B, I), bool)
+        valid[1, 5:] = False
+        full = np.asarray(
+            solve_assignment(jnp.asarray(cost), jnp.asarray(valid), "host")
+        )
+        filt = np.asarray(
+            solve_assignment(jnp.asarray(cost), jnp.asarray(valid), "host", topk=64)
+        )
+        # assignments may differ on cost ties; compare total matched cost
+        for b in range(B):
+            n = int(valid[b].sum())
+            cf = cost[b][full[b, :n], np.arange(n)].sum()
+            ck = cost[b][filt[b, :n], np.arange(n)].sum()
+            assert (filt[b, :n] >= 0).all()
+            assert len(set(filt[b, :n].tolist())) == n
+            np.testing.assert_allclose(ck, cf, atol=1e-5), (trial, b)
+            assert (filt[b, n:] == -1).all()
