@@ -186,6 +186,11 @@ class Trainer:
                 ),
                 donate_argnums=0,
             )(params)
+            # barrier: force the donated cast to complete (freeing the fp32
+            # tree) BEFORE the optimizer-state zeros allocate — the axon
+            # runtime executes lazily and can otherwise interleave them,
+            # transiently holding both trees (OOM at full geometry)
+            jax.block_until_ready(params)
         train_n, total_n = count_trainable(params, self.mask)
         self.logger.log(0, {"trainable_params": train_n, "total_params": total_n})
 
