@@ -174,22 +174,23 @@ class Trainer:
 
         self.tx, self.mask = make_optimizer(params, self.train_cfg)
         if self.train_cfg.frozen_params_in_compute_dtype:
-            # donate the fp32 tree into the cast so XLA frees each fp32
-            # buffer as its bf16 copy is produced — an eager astype would
-            # hold BOTH full trees (~16 GB at SD3.5-medium) and OOM the
-            # chip. NOTE: consumes the caller's param buffers.
+            # normalize storage dtypes: trainable -> fp32 master, frozen ->
+            # compute dtype. Donated so the source tree frees as copies are
+            # produced (holding both full trees OOMs the chip at
+            # SD3.5-medium size). Works from either an fp32 init or a lean
+            # bf16 init (scripts pass param_dtype=bf16 to halve init peak).
+            # NOTE: consumes the caller's param buffers.
             dt = self.model_cfg.dtype
             mask = self.mask
             params = jax.jit(
                 lambda p: jax.tree.map(
-                    lambda x, m: x if m else x.astype(dt), p, mask
+                    lambda x, m: x.astype(jnp.float32) if m else x.astype(dt),
+                    p, mask,
                 ),
                 donate_argnums=0,
             )(params)
-            # barrier: force the donated cast to complete (freeing the fp32
-            # tree) BEFORE the optimizer-state zeros allocate — the axon
-            # runtime executes lazily and can otherwise interleave them,
-            # transiently holding both trees (OOM at full geometry)
+            # barrier before the optimizer-state zeros allocate (the lazy
+            # runtime can otherwise interleave, transiently holding both)
             jax.block_until_ready(params)
         train_n, total_n = count_trainable(params, self.mask)
         self.logger.log(0, {"trainable_params": train_n, "total_params": total_n})
@@ -208,7 +209,9 @@ class Trainer:
         )
         from dit4sr_tpu.train.train_state import partition_params
 
-        opt_state = self.tx.init(partition_params(params, self.mask)[0])
+        # one jitted program (not per-leaf eager zeros): the runtime can
+        # plan the whole allocation instead of creeping up on the limit
+        opt_state = jax.jit(self.tx.init)(partition_params(params, self.mask)[0])
         return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
 
     def make_preprocess_fn(self) -> Callable:

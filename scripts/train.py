@@ -135,6 +135,10 @@ def main():
             frozen_params_in_compute_dtype=True,
         )
         num_steps = num_steps or 150
+        # lean init: random-init in bf16 (half the fp32 peak); init_state
+        # upcasts the trainable partition to its fp32 master
+        model_cfg = model_cfg.with_(param_dtype=jnp.bfloat16)
+        vae_cfg = vae_cfg.with_(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
 
     out_dir = args.out_dir or os.path.join(
         "runs", os.path.splitext(os.path.basename(args.config))[0]
