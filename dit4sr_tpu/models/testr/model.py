@@ -129,13 +129,13 @@ class FeatFusionBlock(nn.Module):
         mid = 4 * self.d_model
         gn = lambda c: 32 if c % 32 == 0 else math.gcd(c, 32)  # noqa: E731
         h = nn.Conv(mid, (1, 1), name="proj_0")(x)
-        h = nn.GroupNorm(num_groups=gn(mid), name="proj_1")(h)
-        h = nn.gelu(h)
+        h = nn.GroupNorm(num_groups=gn(mid), epsilon=1e-5, name="proj_1")(h)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU default (erf)
         h = nn.Conv(self.d_model, (1, 1), name="proj_3")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU default (erf)
         h = nn.Conv(self.d_model, (3, 3), padding=1, name="proj_5")(h)
-        h = nn.GroupNorm(num_groups=gn(self.d_model), name="proj_6")(h)
-        h = nn.gelu(h)
+        h = nn.GroupNorm(num_groups=gn(self.d_model), epsilon=1e-5, name="proj_6")(h)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU default (erf)
         short = nn.Conv(self.d_model, (1, 1), name="shortcut")(x)
         return h + short
 
@@ -246,7 +246,7 @@ class FFN(nn.Module):
         )
         h = drop(nn.relu(nn.Dense(self.cfg.dim_feedforward, name="linear1")(x)))
         h = drop(nn.Dense(self.cfg.d_model, name="linear2")(h))
-        return nn.LayerNorm(name="norm")(x + h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x + h)
 
 
 class EncoderLayer(nn.Module):
@@ -263,7 +263,7 @@ class EncoderLayer(nn.Module):
             self.cfg, self.cfg.enc_n_points, self.spatial_shapes, name="self_attn"
         )(src + pos, reference_points, src)
         attn = nn.Dropout(self.cfg.dropout)(attn, deterministic=deterministic)
-        src = nn.LayerNorm(name="norm1")(src + attn)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + attn)
         return FFN(self.cfg, name="ffn")(src, deterministic)
 
 
@@ -289,12 +289,12 @@ class CompositeDecoderLayer(nn.Module):
         # location: intra-object self-attn over points
         q = k = tgt + query_pos
         t2 = MHA(cfg, name="attn_intra")(q, k, tgt, deterministic)
-        tgt = nn.LayerNorm(name="norm_intra")(tgt + drop(t2))
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm_intra")(tgt + drop(t2))
 
         # inter-object self-attn (swap object/point axes)
         ti = jnp.swapaxes(tgt, 1, 2)
         t2 = MHA(cfg, name="attn_inter")(ti, ti, ti, deterministic)
-        ti = nn.LayerNorm(name="norm_inter")(ti + drop(t2))
+        ti = nn.LayerNorm(epsilon=1e-5, name="norm_inter")(ti + drop(t2))
         tgt = jnp.swapaxes(ti, 1, 2)
 
         # deformable cross-attn: queries = all K*Np points
@@ -304,17 +304,17 @@ class CompositeDecoderLayer(nn.Module):
         t2 = MSDeformAttn(cfg, cfg.dec_n_points, self.spatial_shapes, name="attn_cross")(
             (tgt + query_pos).reshape(B, K * Np, d), ref, src
         ).reshape(B, K, Np, d)
-        tgt = nn.LayerNorm(name="norm_cross")(tgt + drop(t2))
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm_cross")(tgt + drop(t2))
 
         # text: intra-word self-attn
         qt = kt = tgt_text + text_pos
         t2 = MHA(cfg, name="attn_intra_text")(qt, kt, tgt_text, deterministic)
-        txt = nn.LayerNorm(name="norm_intra_text")(tgt_text + drop(t2))
+        txt = nn.LayerNorm(epsilon=1e-5, name="norm_intra_text")(tgt_text + drop(t2))
 
         # text: inter-object self-attn
         ti = jnp.swapaxes(txt, 1, 2)
         t2 = MHA(cfg, name="attn_inter_text")(ti, ti, ti, deterministic)
-        ti = nn.LayerNorm(name="norm_inter_text")(ti + drop(t2))
+        ti = nn.LayerNorm(epsilon=1e-5, name="norm_inter_text")(ti + drop(t2))
         txt = jnp.swapaxes(ti, 1, 2)
 
         # text: deformable cross-attn
@@ -324,7 +324,7 @@ class CompositeDecoderLayer(nn.Module):
         t2 = MSDeformAttn(
             cfg, cfg.dec_n_points, self.spatial_shapes, name="attn_cross_text"
         )((txt + text_pos).reshape(B, K * Nw, d), reft, src).reshape(B, K, Nw, d)
-        txt = nn.LayerNorm(name="norm_cross_text")(txt + drop(t2))
+        txt = nn.LayerNorm(epsilon=1e-5, name="norm_cross_text")(txt + drop(t2))
 
         tgt = FFN(cfg, name="ffn")(tgt, deterministic)
         txt = FFN(cfg, name="ffn_text")(txt, deterministic)
@@ -429,7 +429,7 @@ class TESTR(nn.Module):
         proposals = jnp.broadcast_to(proposals[None], (B, *proposals.shape))
 
         out_memory = jnp.where(valid[None, :, None], memory, 0.0)
-        out_memory = nn.LayerNorm(name="enc_output_norm")(
+        out_memory = nn.LayerNorm(epsilon=1e-5, name="enc_output_norm")(
             nn.Dense(cfg.d_model, name="enc_output")(out_memory)
         )
 
@@ -452,7 +452,7 @@ class TESTR(nn.Module):
         topk_coords = jax.lax.stop_gradient(topk_coords)
         reference_points = jax.nn.sigmoid(topk_coords)       # (B, K, 4)
 
-        query_pos = nn.LayerNorm(name="pos_trans_norm")(
+        query_pos = nn.LayerNorm(epsilon=1e-5, name="pos_trans_norm")(
             nn.Dense(cfg.d_model, name="pos_trans")(proposal_pos_embed(topk_coords))
         )                                                    # (B, K, d)
 
