@@ -87,15 +87,32 @@ class Checkpointer:
         self.mngr.save(step, args=ocp.args.StandardSave(state._asdict()))
         self.mngr.wait_until_finished()
 
-    def restore(self, state_like: TrainState, step: Optional[int] = None) -> TrainState:
+    def restore(
+        self,
+        state_like: TrainState,
+        step: Optional[int] = None,
+        release_template: bool = False,
+    ) -> TrainState:
+        """Restore the latest (or given) step.
+
+        The restore target is a HOST numpy template, so the checkpoint never
+        coexists with `state_like` on the device; with `release_template`
+        the template's device buffers are freed once the restore succeeds
+        (at full geometry, two resident train states OOM a 16 GB chip)."""
         import orbax.checkpoint as ocp
 
         step = step if step is not None else self.mngr.latest_step()
         if step is None:
             return state_like
+        template = jax.tree.map(
+            lambda x: np.empty(x.shape, x.dtype)
+            if hasattr(x, "shape") and hasattr(x, "dtype")
+            else x,
+            state_like._asdict(),
+        )
         try:
             restored = self.mngr.restore(
-                step, args=ocp.args.StandardRestore(state_like._asdict())
+                step, args=ocp.args.StandardRestore(template)
             )
         except ValueError as e:
             # a checkpoint written by an older train-state layout (e.g. the
@@ -107,6 +124,14 @@ class Checkpointer:
                 "starting from scratch"
             )
             return state_like
+        if release_template:
+            for x in jax.tree.leaves(state_like._asdict()):
+                if hasattr(x, "delete"):
+                    try:
+                        if not x.is_deleted():
+                            x.delete()
+                    except Exception:
+                        pass
         return TrainState(**restored)
 
     def latest_step(self) -> Optional[int]:
@@ -294,7 +319,7 @@ class Trainer:
         """batches yield dicts from SATextDataset.collate; encode_prompt_fn:
         list[str] -> (text_embeds, pooled)."""
         if resume:
-            state = self.ckpt.restore(state)
+            state = self.ckpt.restore(state, release_template=True)
         preprocess = self.make_preprocess_fn()
         target = num_steps or self.train_cfg.num_train_steps
         np_rng = np.random.default_rng(self.train_cfg.seed)
