@@ -250,6 +250,12 @@ class TESTRConfig:
     # axon TPU runtime (full-graph backward crashes the remote compiler)
     # and cheap — TESTR is small next to the MMDiT
     remat: bool = True
+    # encoder remat granularity when remat=True: "layer" remats the whole
+    # encoder layer (lowest memory — the full stage-3 joint step needs it:
+    # 17.0 GB vs the chip's 15.75 GB with "ffn"); "ffn" saves the deformable
+    # -attention residuals and remats only the FFN (~17% faster standalone
+    # TESTR training when memory allows)
+    encoder_remat: str = "layer"
     # "auto" matcher: exact host Hungarian on CPU, on-device auction on TPU
     # (axon does not support host callbacks)
     matcher_impl: str = "auto"

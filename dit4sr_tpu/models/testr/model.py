@@ -252,7 +252,12 @@ class FFN(nn.Module):
 class EncoderLayer(nn.Module):
     """Deformable self-attention encoder layer
     (deformable_transformer.py:183-222), dropout on the attention output
-    before the residual (dropout1, :214-216)."""
+    before the residual (dropout1, :214-216).
+
+    Remat granularity: only the FFN is rematerialized — recomputing the
+    deformable gather in the backward pass costs ~0.8 s/step at the
+    16k-proposal geometry, while its saved residuals are only ~60 MB/layer.
+    The FFN hidden (S x 1024) is the memory-heavy, cheap-to-recompute part."""
 
     cfg: TESTRConfig
     spatial_shapes: Tuple[Tuple[int, int], ...]
@@ -264,7 +269,12 @@ class EncoderLayer(nn.Module):
         )(src + pos, reference_points, src)
         attn = nn.Dropout(self.cfg.dropout)(attn, deterministic=deterministic)
         src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + attn)
-        return FFN(self.cfg, name="ffn")(src, deterministic)
+        ffn_cls = (
+            nn.remat(FFN, static_argnums=(2,))
+            if self.cfg.remat and self.cfg.encoder_remat == "ffn"
+            else FFN
+        )
+        return ffn_cls(self.cfg, name="ffn")(src, deterministic)
 
 
 class CompositeDecoderLayer(nn.Module):
@@ -403,8 +413,10 @@ class TESTR(nn.Module):
             ref_points[None, :, None, :], (B, ref_points.shape[0], nlev, 2)
         )
 
+        # encoder remat granularity: see TESTRConfig.encoder_remat
         enc_cls = (
-            nn.remat(EncoderLayer, static_argnums=(4,)) if cfg.remat
+            nn.remat(EncoderLayer, static_argnums=(4,))
+            if cfg.remat and cfg.encoder_remat == "layer"
             else EncoderLayer
         )
         memory = src_flat
