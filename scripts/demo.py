@@ -17,6 +17,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# the axon sitecustomize pins jax_platforms; honor an explicit env override
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,12 +51,15 @@ def main():
     ap.add_argument("--mmdit_ckpt", default=None)
     ap.add_argument("--vae_ckpt", default=None)
     ap.add_argument("--no_ocr", action="store_true")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny geometry (CPU-friendly CI path)")
     args = ap.parse_args()
 
     import cv2
 
     from dit4sr_tpu.config import (
         SamplerConfig, SchedulerConfig, TESTRConfig, mmdit_base, VAEConfig,
+        mmdit_tiny, testr_tiny, vae_tiny,
     )
     from dit4sr_tpu.eval.visualize import draw_ocr_overlay, side_by_side
     from dit4sr_tpu.models.mmdit import MMDiT, init_mmdit
@@ -60,16 +70,26 @@ def main():
     from dit4sr_tpu.text.encoders import HashTextEncoder
 
     os.makedirs(args.out_dir, exist_ok=True)
-    mcfg = mmdit_base().with_(
-        param_dtype=jnp.bfloat16,
-        feat_extract_layers=tuple(range(24)) if not args.no_ocr else (),
-    )
-    vcfg = VAEConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    if args.smoke:
+        vcfg = vae_tiny()
+        mcfg = mmdit_tiny(
+            feat_extract_layers=(0, 1) if not args.no_ocr else (),
+            in_channels=vcfg.latent_channels,
+            out_channels=vcfg.latent_channels,
+        )
+        args.size = min(args.size, 16)
+    else:
+        mcfg = mmdit_base().with_(
+            param_dtype=jnp.bfloat16,
+            feat_extract_layers=tuple(range(24)) if not args.no_ocr else (),
+        )
+        vcfg = VAEConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
 
+    latent_hw = args.size * 4 // 8  # x4 SR, /8 VAE
     mmdit = MMDiT(mcfg)
-    lat0 = jnp.zeros((1, 64, 64, 16), jnp.bfloat16)
-    txt0 = jnp.zeros((1, 333, 4096), jnp.bfloat16)
-    pool0 = jnp.zeros((1, 2048), jnp.bfloat16)
+    lat0 = jnp.zeros((1, latent_hw, latent_hw, mcfg.in_channels), mcfg.dtype)
+    txt0 = jnp.zeros((1, 333, mcfg.joint_attention_dim), mcfg.dtype)
+    pool0 = jnp.zeros((1, mcfg.pooled_projection_dim), mcfg.dtype)
     if args.mmdit_ckpt:
         from dit4sr_tpu.utils.weights import convert_mmdit, load_safetensors
 
@@ -102,7 +122,11 @@ def main():
         mmdit, vae, mcfg, vcfg, SchedulerConfig(),
         SamplerConfig(num_inference_steps=args.steps, align_method="adain"),
     )
-    encoder = HashTextEncoder(seq_len=333)
+    encoder = HashTextEncoder(
+        seq_len=333 if not args.smoke else 16,
+        joint_dim=mcfg.joint_attention_dim,
+        pooled_dim=mcfg.pooled_projection_dim,
+    )
     params = {"mmdit": mparams, "vae": vparams}
 
     lq = synthetic_lq(args.size)
@@ -114,9 +138,21 @@ def main():
         txt, pool = encoder([prompt])
         sr = pipe.jit()(params, jax.random.PRNGKey(42), lq_up, txt, pool)
     else:
-        testr_cfg = TESTRConfig()
-        spotter = TextSpotter(testr_cfg)
-        feats0 = jnp.zeros((24, 1, 64, 64, 768), jnp.float32)
+        if args.smoke:
+            testr_cfg = testr_tiny(
+                num_dit_layers=len(mcfg.feat_extract_layers),
+                num_feature_levels=min(4, len(mcfg.feat_extract_layers)),
+                dit_dim=mcfg.inner_dim,
+            )
+        else:
+            testr_cfg = TESTRConfig()
+        n_ext = 2 if testr_cfg.feat_extract == "hq+control" else 1
+        c_feat = mcfg.inner_dim // (mcfg.patch_size ** 2) * n_ext
+        spotter = TextSpotter(testr_cfg, feat_hw=(latent_hw, latent_hw))
+        feats0 = jnp.zeros(
+            (len(mcfg.feat_extract_layers), 1, latent_hw, latent_hw, c_feat),
+            jnp.float32,
+        )
         params["testr"] = spotter.init(jax.random.PRNGKey(2), feats0)
         sampler = OCRGuidedSampler(pipe, spotter, encoder)
         sr, ocr_log = sampler(

@@ -75,3 +75,57 @@ def test_evaluate_cli_refuses_random_weights(tmp_path):
     # or earlier with a clear error; it must NOT print an aggregate table
     assert r.returncode != 0
     assert "psnr" not in r.stdout
+
+
+def test_demo_cli_smoke(tmp_path):
+    out = tmp_path / "demo"
+    r = _run(
+        ["scripts/demo.py", "--smoke", "--steps", "2", "--out_dir", str(out)],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    for f in ("sr.png", "side_by_side.png", "ocr_overlay.png", "ocr_per_step.json"):
+        assert (out / f).exists(), f
+
+
+def test_llm_eval_cli_smoke(tmp_path):
+    import json
+
+    log_dir = tmp_path / "logs"
+    log_dir.mkdir()
+    (log_dir / "img0.json").write_text(json.dumps({
+        "gt_words": ["STOP", "EXIT"],
+        "steps": [["ST0P"], ["STOP", "EXIT"]],
+    }))
+    out = tmp_path / "judge.json"
+    r = _run(
+        ["scripts/llm_eval.py", "--log_dir", str(log_dir), "--out", str(out)],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert out.exists()
+    data = json.loads(out.read_text())
+    assert data, "empty judge output"
+
+
+def test_precompute_captions_cli_smoke(tmp_path):
+    import cv2
+    import numpy as np
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(2):
+        cv2.imwrite(
+            str(img_dir / f"im{i}.jpg"),
+            (np.random.default_rng(i).uniform(size=(32, 32, 3)) * 255).astype("uint8"),
+        )
+    out_dir = tmp_path / "caps"
+    r = _run(
+        ["scripts/precompute_captions.py", "--img_dir", str(img_dir),
+         "--out_dir", str(out_dir)],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    txts = list(out_dir.glob("*.txt"))
+    assert len(txts) == 2
+    assert txts[0].read_text().strip()
