@@ -26,6 +26,7 @@ Design (fits these shapes; not a generic long-context kernel):
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -185,6 +186,241 @@ def _flash_vjp_fwd(q, k, v, block_q, valid_len):
 _flash.defvjp(_flash_vjp_fwd, _bwd)
 
 
+# ---------------------------------------------------------------------------
+# KV-blocked (online-softmax) variant — long sequences.
+#
+# The full-KV kernel above holds K/V (and a (BQ, N) logits tile) for one
+# (batch, head) entirely in VMEM; past ~8k tokens that footprint crosses the
+# VMEM budget. This variant streams K/V in blocks with the standard
+# online-softmax recurrence, so VMEM usage is O(block_q * block_k) and the
+# sequence length is unbounded. It is the TPU answer for untiled >=1024px
+# inputs (33k joint tokens at 2048px) without latent tiling.
+#
+# At DiT4SR's serving shapes (<=2432 tokens) the full-KV kernel is faster
+# (no m/l bookkeeping, one pass) — the wrapper dispatches on N.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kv_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref,
+    m_s, l_s, acc_s,
+    *, scale, valid_len, block_k,
+):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_s[...] = jnp.full_like(m_s, NEG_INF)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    q = q_ref[0]                               # (BQ, D) bf16
+    k = k_ref[0]                               # (BK, D) bf16
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                  # (BQ, BK)
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + j * block_k
+    logits = jnp.where(col < valid_len, logits, NEG_INF)
+
+    m_prev = m_s[:, :1]                        # (BQ, 1)
+    m_cur = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+    corr = jnp.exp(m_prev - m_cur)
+    p = jnp.exp(logits - m_cur)                # (BQ, BK)
+    l_cur = l_s[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                          # (BQ, D)
+    acc_s[...] = acc_s[...] * corr + pv
+    m_s[...] = jnp.broadcast_to(m_cur, m_s.shape)
+    l_s[...] = jnp.broadcast_to(l_cur, l_s.shape)
+
+    @pl.when(j == nk - 1)
+    def _():
+        l = l_s[:, :1]
+        o_ref[0] = (acc_s[...] / l).astype(o_ref.dtype)
+        lse_ref[0] = m_s[:, :1] + jnp.log(l)
+
+
+def _fwd_kv(q, k, v, *, block_q, block_k, valid_len):
+    """q/k/v: (G, N, D). Returns (o, lse) with lse (G, N, 1) fp32.
+
+    lse/delta ride as (G, N, 1) so their blocks are (1, block_q, 1) —
+    Mosaic requires the last two block dims to be (8k, 128k) or equal the
+    array dims, which a (1, block_q) block over (G, N) violates; the
+    trailing singleton also lands them in the (BQ, 1) sublane orientation
+    the kernels broadcast against, so no lane->sublane relayout."""
+    G, N, D = q.shape
+    scale = 1.0 / (D ** 0.5)
+    kernel = functools.partial(
+        _fwd_kv_kernel, scale=scale, valid_len=valid_len, block_k=block_k
+    )
+    kv_spec = pl.BlockSpec((1, block_k, D), lambda g, i, j: (g, j, 0),
+                           memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((1, block_q, D), lambda g, i, j: (g, i, 0),
+                          memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, block_q, 1), lambda g, i, j: (g, i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(G, N // block_q, N // block_k),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=[q_spec, lse_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((G, N, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+    )(q, k, v)
+
+
+def _dq_kv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    dq_s,
+    *, scale, valid_len, block_k,
+):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        dq_s[...] = jnp.zeros_like(dq_s)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + j * block_k
+    logits = jnp.where(col < valid_len, logits, NEG_INF)
+    p = jnp.exp(logits - lse_ref[0])                   # (BQ, BK)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - delta_ref[0])).astype(q.dtype)
+    dq_s[...] += jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    @pl.when(j == nk - 1)
+    def _():
+        dq_ref[0] = dq_s[...].astype(dq_ref.dtype)
+
+
+def _dkv_kv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_s, dv_s,
+    *, scale, valid_len, block_k,
+):
+    j = pl.program_id(1)
+    i = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _():
+        dk_s[...] = jnp.zeros_like(dk_s)
+        dv_s[...] = jnp.zeros_like(dv_s)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + j * block_k
+    logits = jnp.where(col < valid_len, logits, NEG_INF)
+    p = jnp.exp(logits - lse_ref[0])                   # (BQ, BK)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - delta_ref[0])).astype(q.dtype)
+    dk_s[...] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    dv_s[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == nq - 1)
+    def _():
+        dk_ref[0] = dk_s[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_s[...].astype(dv_ref.dtype)
+
+
+def _bwd_kv(block_q, block_k, valid_len, res, do):
+    q, k, v, o, lse = res
+    G, N, D = q.shape
+    scale = 1.0 / (D ** 0.5)
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )                                                      # (G, N, 1)
+
+    q_spec = pl.BlockSpec((1, block_q, D), lambda g, i, j: (g, i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, block_k, D), lambda g, i, j: (g, j, 0),
+                           memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, block_q, 1), lambda g, i, j: (g, i, 0),
+                            memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kv_kernel, scale=scale, valid_len=valid_len, block_k=block_k
+        ),
+        grid=(G, N // block_q, N // block_k),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+    )(q, k, v, do, lse, delta)
+
+    # dk/dv pass: kv tiles outer, q tiles inner
+    q_spec2 = pl.BlockSpec((1, block_q, D), lambda g, j, i: (g, i, 0),
+                           memory_space=pltpu.VMEM)
+    kv_spec2 = pl.BlockSpec((1, block_k, D), lambda g, j, i: (g, j, 0),
+                            memory_space=pltpu.VMEM)
+    row_spec2 = pl.BlockSpec((1, block_q, 1), lambda g, j, i: (g, i, 0),
+                             memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kv_kernel, scale=scale, valid_len=valid_len, block_k=block_k
+        ),
+        grid=(G, N // block_k, N // block_q),
+        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, row_spec2, row_spec2],
+        out_specs=[kv_spec2, kv_spec2],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_kv(q, k, v, block_q, block_k, valid_len):
+    o, _ = _fwd_kv(q, k, v, block_q=block_q, block_k=block_k,
+                   valid_len=valid_len)
+    return o
+
+
+def _flash_kv_vjp_fwd(q, k, v, block_q, block_k, valid_len):
+    o, lse = _fwd_kv(q, k, v, block_q=block_q, block_k=block_k,
+                     valid_len=valid_len)
+    return o, (q, k, v, o, lse)
+
+
+_flash_kv.defvjp(_flash_kv_vjp_fwd, _bwd_kv)
+
+# above this joint-sequence length the full-KV kernel's (BQ, N) logits tile +
+# resident K/V stop fitting comfortably in VMEM — stream K/V instead
+MAX_FULL_KV_LEN = 8192
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -192,12 +428,19 @@ def flash_attention(
     key_mask: Optional[jnp.ndarray] = None,
     block_q: int = 256,
     valid_len: Optional[int] = None,
+    block_k: Optional[int] = None,
 ) -> jnp.ndarray:
     """(B, H, N, D) attention. N is padded up to a block multiple internally
     and the pad keys masked statically. Callers that already align N can pass
     `valid_len` < N to mask their own trailing pad tokens WITHOUT the wrapper
     re-padding (saves 3 full q/k/v copies). A runtime `key_mask` is not
-    supported by this kernel — callers with dynamic masks use the XLA path."""
+    supported by this kernel — callers with dynamic masks use the XLA path.
+
+    Two kernels behind one interface:
+      * N <= MAX_FULL_KV_LEN and block_k is None — full-KV kernel (K/V for
+        one (batch, head) resident in VMEM; fastest at serving shapes).
+      * otherwise — KV-blocked online-softmax kernel (VMEM O(block_q*block_k),
+        unbounded N); pass `block_k` explicitly to force it."""
     if key_mask is not None:
         raise NotImplementedError(
             "pallas flash attention uses static padding masks; pass "
@@ -206,7 +449,13 @@ def flash_attention(
     B, H, N, D = q.shape
     if valid_len is None:
         valid_len = N
-    n_pad = (-N) % block_q
+    use_kv_blocked = block_k is not None or N > MAX_FULL_KV_LEN
+    if use_kv_blocked and block_k is None:
+        block_k = 512
+    align = block_q if not use_kv_blocked else (
+        block_q * block_k // math.gcd(block_q, block_k)
+    )
+    n_pad = (-N) % align
     if n_pad > 0:
         pad4 = ((0, 0), (0, 0), (0, n_pad), (0, 0))
         q = jnp.pad(q, pad4)
@@ -218,6 +467,9 @@ def flash_attention(
     k_g = k.reshape(B * H, Np, D)
     v_g = v.reshape(B * H, Np, D)
 
-    out = _flash(q_g, k_g, v_g, block_q, valid_len)
+    if use_kv_blocked:
+        out = _flash_kv(q_g, k_g, v_g, block_q, block_k, valid_len)
+    else:
+        out = _flash(q_g, k_g, v_g, block_q, valid_len)
     out = out.reshape(B, H, Np, D)
     return out[:, :, :N] if n_pad > 0 else out

@@ -96,3 +96,86 @@ def test_caller_aligned_valid_len():
     np.testing.assert_allclose(
         np.asarray(out[:, :, :300]), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# KV-blocked (online-softmax) variant — the long-sequence path
+# ---------------------------------------------------------------------------
+
+
+def test_kv_blocked_forward_parity():
+    q, k, v = _qkv(N=512, B=2)
+    ref = mha_reference(q, k, v)
+    got = fa.flash_attention(q, k, v, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_kv_blocked_forward_parity_padded_and_valid_len():
+    """N not a block multiple AND caller valid_len: both mask paths compose."""
+    q, k, v = _qkv(N=300)
+    ref = mha_reference(q, k, v)
+    got = fa.flash_attention(q, k, v, block_q=128, block_k=256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    q2, k2, v2 = _qkv(N=512, seed=1)
+    out = fa.flash_attention(q2, k2, v2, block_q=128, block_k=128, valid_len=300)
+    ref2 = mha_reference(q2[:, :, :300], k2[:, :, :300], v2[:, :, :300])
+    np.testing.assert_allclose(
+        np.asarray(out[:, :, :300]), np.asarray(ref2), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_kv_blocked_matches_full_kv_kernel():
+    q, k, v = _qkv(N=384, seed=2)
+    full = fa.flash_attention(q, k, v, block_q=128)
+    blocked = fa.flash_attention(q, k, v, block_q=128, block_k=128)
+    np.testing.assert_allclose(
+        np.asarray(blocked), np.asarray(full), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_kv_blocked_gradient_parity():
+    q, k, v = _qkv(N=384)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v) ** 2)
+
+    def loss_fa(q, k, v):
+        return jnp.sum(
+            fa.flash_attention(q, k, v, block_q=128, block_k=128) ** 2
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_fa = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_fa, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_kv_blocked_gradient_parity_padded():
+    q, k, v = _qkv(N=300, seed=3)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v) ** 2)
+
+    def loss_fa(q, k, v):
+        return jnp.sum(
+            fa.flash_attention(q, k, v, block_q=128, block_k=256) ** 2
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_fa = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fa, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4)
+
+
+def test_auto_dispatch_above_threshold(monkeypatch):
+    """N > MAX_FULL_KV_LEN silently takes the blocked path (tiny threshold
+    stand-in so the test stays fast)."""
+    monkeypatch.setattr(fa, "MAX_FULL_KV_LEN", 256)
+    q, k, v = _qkv(N=512, seed=4)
+    ref = mha_reference(q, k, v)
+    got = fa.flash_attention(q, k, v, block_q=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
