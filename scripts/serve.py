@@ -1,0 +1,130 @@
+"""HTTP serving entry point: LQ image in, x4 SR image out.
+
+The reference has no serving layer (SURVEY.md §1); this is the deployment
+story for the TPU rebuild. One process = one chip = one compiled pipeline.
+
+    python scripts/serve.py --port 8000 --size 128 --steps 28 \
+        --sd3_ckpt /path/to/sd3.5-medium
+
+    curl -X POST --data-binary @lq.png \
+        'http://localhost:8000/v1/sr?prompt=a+street+sign' > sr.png
+
+Without --sd3_ckpt it serves random weights behind a loud banner (useful
+only for load/integration testing; pair with --smoke for a tiny model).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+import jax.numpy as jnp
+
+
+def build_server(args):
+    from dit4sr_tpu.bootstrap import (
+        banner, build_mmdit, build_prompt_encoder, build_vae,
+    )
+    from dit4sr_tpu.config import (
+        SamplerConfig, SchedulerConfig, VAEConfig, mmdit_base, mmdit_tiny,
+        vae_tiny,
+    )
+    from dit4sr_tpu.pipelines.sr_pipeline import SRPipeline
+    from dit4sr_tpu.serving import SRServer
+
+    if args.smoke:
+        vcfg = vae_tiny()
+        mcfg = mmdit_tiny(
+            in_channels=vcfg.latent_channels,
+            out_channels=vcfg.latent_channels,
+        )
+        args.size = min(args.size, 16)
+        text_len = 16
+    else:
+        mcfg = mmdit_base().with_(param_dtype=jnp.bfloat16, folded_control=True)
+        vcfg = VAEConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+        text_len = 333
+
+    mmdit, mparams, m_ok = build_mmdit(
+        mcfg, jax.random.PRNGKey(0), args.sd3_ckpt, text_len=text_len
+    )
+    if m_ok and not args.smoke:
+        from dit4sr_tpu.models.mmdit import fold_control_projections
+
+        mparams = fold_control_projections(mparams, mcfg.with_(folded_control=False))
+    vae, vparams, v_ok = build_vae(vcfg, jax.random.PRNGKey(1), args.sd3_ckpt)
+    encoder, e_ok = build_prompt_encoder(
+        args.sd3_ckpt, t5_length=text_len - 77 if text_len > 77 else text_len,
+        dtype=mcfg.dtype,
+    )
+    if args.smoke or not (m_ok and v_ok and e_ok):
+        from dit4sr_tpu.text.encoders import HashTextEncoder
+
+        dims_ok = (
+            isinstance(encoder, HashTextEncoder)
+            and encoder.seq_len == text_len
+            and encoder.joint_dim == mcfg.joint_attention_dim
+            and encoder.pooled_dim == mcfg.pooled_projection_dim
+        )
+        if not dims_ok:
+            encoder = HashTextEncoder(
+                seq_len=text_len,
+                joint_dim=mcfg.joint_attention_dim,
+                pooled_dim=mcfg.pooled_projection_dim,
+            )
+        if not args.smoke:
+            banner("serving RANDOM/HASH weights — load-testing only")
+
+    pipe = SRPipeline(
+        mmdit, vae, mcfg, vcfg, SchedulerConfig(),
+        SamplerConfig(num_inference_steps=args.steps, align_method="adain"),
+    )
+    return SRServer(
+        pipe, {"mmdit": mparams, "vae": vparams}, encoder,
+        lq_size=args.size, upscale=4, seed=args.seed,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--size", type=int, default=128, help="compiled LQ size")
+    ap.add_argument("--steps", type=int, default=28)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--sd3_ckpt", default=None,
+                    help="SD3.5 root (transformer/ vae/ text_encoder*/")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny geometry (CPU-friendly integration testing)")
+    ap.add_argument("--once", action="store_true",
+                    help="warm up, print stats, exit (CI smoke)")
+    args = ap.parse_args()
+
+    from dit4sr_tpu.serving import serve
+
+    server = build_server(args)
+    httpd = serve(server, args.host, args.port, warmup=True)
+    if args.once:
+        import json
+
+        print(json.dumps(server.stats()))
+        httpd.server_close()
+        return
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        httpd.server_close()
+
+
+if __name__ == "__main__":
+    main()

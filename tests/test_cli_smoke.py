@@ -23,7 +23,9 @@ def _run(args, tmp_path):
         env=env,
         capture_output=True,
         text=True,
-        timeout=1200,
+        # generous: the stage-3 smoke compiles a (tiny) joint step in a
+        # subprocess that may share one host core with concurrent jobs
+        timeout=2400,
     )
 
 
@@ -106,6 +108,21 @@ def test_llm_eval_cli_smoke(tmp_path):
     assert out.exists()
     data = json.loads(out.read_text())
     assert data, "empty judge output"
+
+
+def test_serve_cli_smoke(tmp_path):
+    r = _run(
+        ["scripts/serve.py", "--smoke", "--once", "--port", "0",
+         "--steps", "2"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "serving on" in r.stdout
+    # --once prints the stats JSON as the last line
+    import json
+
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["warm"] and stats["requests"] == 0
 
 
 def test_precompute_captions_cli_smoke(tmp_path):
