@@ -110,6 +110,20 @@ def test_llm_eval_cli_smoke(tmp_path):
     assert data, "empty judge output"
 
 
+def test_distill_cli_smoke(tmp_path):
+    r = _run(
+        ["scripts/distill.py", "--config", "configs/train_stage1.yaml",
+         "--smoke", "--out_dir", str(tmp_path / "distill")],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "distilled 4 -> 2 steps" in r.stdout
+    # both phase checkpoints written
+    assert (tmp_path / "distill" / "phase_2").exists()
+    assert (tmp_path / "distill" / "phase_1").exists() is False  # ladder is 4,2
+    assert (tmp_path / "distill" / "metrics.jsonl").exists()
+
+
 def test_serve_cli_smoke(tmp_path):
     r = _run(
         ["scripts/serve.py", "--smoke", "--once", "--port", "0",
