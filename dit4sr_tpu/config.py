@@ -201,6 +201,13 @@ class SamplerConfig:
     align_method: str = "adain"       # "adain" | "wavelet" | "nofix"
     upscale: int = 4
     process_size: int = 512
+    # Training-free block caching (Delta-DiT, arXiv 2406.01125 — absent in the
+    # reference, whose protocol always runs every block every step). When
+    # cache_interval > 1 and cache_span = (lo, hi), the contribution of blocks
+    # [lo, hi) is recomputed only every cache_interval-th denoise step and
+    # reused (as a hidden-state delta) in between. (1, None) = exact baseline.
+    cache_interval: int = 1
+    cache_span: Optional[Tuple[int, int]] = None
 
 
 # ---------------------------------------------------------------------------

@@ -421,7 +421,22 @@ class MMDiT(nn.Module):
         timestep: jnp.ndarray,            # (B,) in [0, 1000]
         text_mask: Optional[jnp.ndarray] = None,  # (B, T) bool
         extract_features: bool = False,
-    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        cache_span: Optional[Tuple[int, int]] = None,  # static (lo, hi)
+        cache_mode: Optional[str] = None,              # None|"capture"|"apply"
+        cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ):
+        """Standard call returns (out, feats). Block-span caching (Delta-DiT,
+        arXiv 2406.01125; the reference has no fast-sampling path):
+
+          * cache_mode="capture": run ALL blocks, additionally return the
+            fp32 hidden-state deltas accumulated by blocks [lo, hi) —
+            (out, feats, (d_stream, d_text)).
+          * cache_mode="apply": run blocks [0, lo), add the given deltas,
+            skip straight to block hi, run [hi, N) — (out, feats). The
+            skipped blocks' cost is saved; their effect is approximated by
+            the cached deltas from a nearby step.
+
+        cache_span/cache_mode are static (trace-time) arguments."""
         cfg = self.cfg
         B, H, W, _ = hidden_states.shape
         h, w = H // cfg.patch_size, W // cfg.patch_size
@@ -460,11 +475,53 @@ class MMDiT(nn.Module):
             name="context_embedder",
         )(text_embeds)
 
+        if cache_mode is not None:
+            if cache_span is None:
+                raise ValueError("cache_mode requires cache_span=(lo, hi)")
+            lo, hi = cache_span
+            if not (0 <= lo < hi <= cfg.num_layers):
+                raise ValueError(f"cache_span {cache_span} out of range")
+            if cache_mode == "apply":
+                if cache is None:
+                    raise ValueError('cache_mode="apply" requires cache deltas')
+                if extract_features and any(
+                    lo <= j < hi for j in cfg.feat_extract_layers
+                ):
+                    raise ValueError(
+                        "extract_features conflicts with caching a span that "
+                        "contains feat_extract_layers"
+                    )
+        else:
+            lo = hi = -1
+
         feats: List[jnp.ndarray] = []
+        snap_lo = None
+        new_cache = None
         block_cls = JointBlock
         if cfg.remat:
             block_cls = nn.remat(JointBlock, static_argnums=())
         for i in range(cfg.num_layers):
+            if i == lo:
+                if cache_mode == "capture":
+                    snap_lo = (
+                        stream_x.astype(jnp.float32),
+                        text_x.astype(jnp.float32),
+                    )
+                else:  # apply
+                    d_stream, d_text = cache
+                    stream_x = (
+                        stream_x.astype(jnp.float32) + d_stream
+                    ).astype(stream_x.dtype)
+                    text_x = (
+                        text_x.astype(jnp.float32) + d_text
+                    ).astype(text_x.dtype)
+            if i == hi and cache_mode == "capture":
+                new_cache = (
+                    stream_x.astype(jnp.float32) - snap_lo[0],
+                    text_x.astype(jnp.float32) - snap_lo[1],
+                )
+            if cache_mode == "apply" and lo <= i < hi:
+                continue
             stream_x, text_x = block_cls(
                 cfg,
                 use_dual_attention=i in cfg.dual_attention_layers,
@@ -473,6 +530,11 @@ class MMDiT(nn.Module):
             )(stream_x, text_x, temb, text_mask)
             if extract_features and i in cfg.feat_extract_layers:
                 feats.append(_extract_slice(cfg, stream_x))
+        if cache_mode == "capture" and hi == cfg.num_layers:
+            new_cache = (
+                stream_x.astype(jnp.float32) - snap_lo[0],
+                text_x.astype(jnp.float32) - snap_lo[1],
+            )
 
         hq = stream_x[:, 0]
         hq = AdaLayerNormContinuous(
@@ -488,6 +550,8 @@ class MMDiT(nn.Module):
         out = unpatchify(hq, h, w, cfg.patch_size)
 
         feat_arr = jnp.stack(feats) if feats else None
+        if cache_mode == "capture":
+            return out, feat_arr, new_cache
         return out, feat_arr
 
 

@@ -88,8 +88,14 @@ class SRPipeline:
         text_mask: Optional[jnp.ndarray],
         neg_text_embeds: Optional[jnp.ndarray] = None,
         neg_pooled_embeds: Optional[jnp.ndarray] = None,
-    ) -> jnp.ndarray:
-        """One transformer evaluation (+CFG combine when enabled)."""
+        cache_mode: Optional[str] = None,   # None | "capture" | "apply"
+        cache=None,
+    ):
+        """One transformer evaluation (+CFG combine when enabled).
+
+        With cache_mode="capture" returns (velocity, block-span deltas);
+        with "apply" the sampler's cached deltas stand in for the blocks in
+        sampler_cfg.cache_span (Delta-DiT step caching, arXiv 2406.01125)."""
         b = latents.shape[0]
         use_cfg = self.sampler_cfg.guidance_scale > 1.0
         if use_cfg and (neg_text_embeds is None or neg_pooled_embeds is None):
@@ -110,7 +116,14 @@ class SRPipeline:
             latents_in, control_in = latents, control_latent
             text_in, pooled_in, mask_in = text_embeds, pooled_embeds, text_mask
         t = jnp.broadcast_to(timestep, (latents_in.shape[0],))
-        out, _ = self.mmdit.apply(
+        cache_kwargs = {}
+        if cache_mode is not None:
+            cache_kwargs = dict(
+                cache_span=self.sampler_cfg.cache_span,
+                cache_mode=cache_mode,
+                cache=cache,
+            )
+        res = self.mmdit.apply(
             mmdit_params,
             latents_in.astype(self.model_cfg.dtype),
             control_in.astype(self.model_cfg.dtype),
@@ -118,10 +131,18 @@ class SRPipeline:
             pooled_in.astype(self.model_cfg.dtype),
             t,
             text_mask=mask_in,
+            **cache_kwargs,
         )
+        new_cache = None
+        if cache_mode == "capture":
+            out, _, new_cache = res
+        else:
+            out, _ = res
         if use_cfg:
             uncond, cond = out[:b], out[b:]
             out = uncond + self.sampler_cfg.guidance_scale * (cond - uncond)
+        if cache_mode == "capture":
+            return out, new_cache
         return out
 
     # -- full sampler (pure scan) --------------------------------------------
@@ -148,21 +169,64 @@ class SRPipeline:
         else:
             latents = noise
 
-        def body(latents, i):
-            v = self.velocity(
+        scfg = self.sampler_cfg
+        use_cache = scfg.cache_interval > 1 and scfg.cache_span is not None
+
+        def vel(latents, t, cache_mode=None, cache=None):
+            return self.velocity(
                 mmdit_params,
                 latents,
                 control_latent,
                 text_embeds,
                 pooled_embeds,
-                sched.timesteps[i],
+                t,
                 text_mask,
                 neg_text_embeds,
                 neg_pooled_embeds,
+                cache_mode=cache_mode,
+                cache=cache,
             )
-            return sched.step(i, latents, v), None
 
-        latents, _ = jax.lax.scan(body, latents, jnp.arange(sched.num_steps))
+        if not use_cache:
+
+            def body(latents, i):
+                v = vel(latents, sched.timesteps[i])
+                return sched.step(i, latents, v), None
+
+            latents, _ = jax.lax.scan(body, latents, jnp.arange(sched.num_steps))
+            return latents
+
+        # Delta-DiT step caching (arXiv 2406.01125): every cache_interval-th
+        # step recomputes all blocks and captures the [lo, hi) span's deltas;
+        # intermediate steps reuse them, skipping those blocks entirely.
+        b_eff = latents.shape[0] * (2 if scfg.guidance_scale > 1.0 else 1)
+        p = self.model_cfg.patch_size
+        n_tok = (control_latent.shape[1] // p) * (control_latent.shape[2] // p)
+        d_stream0 = jnp.zeros(
+            (b_eff, len(self.model_cfg.streams), n_tok, self.model_cfg.inner_dim),
+            jnp.float32,
+        )
+        d_text0 = jnp.zeros(
+            (b_eff, text_embeds.shape[1], self.model_cfg.inner_dim), jnp.float32
+        )
+
+        def full_step(latents, t, cache):
+            return vel(latents, t, cache_mode="capture")
+
+        def cached_step(latents, t, cache):
+            return vel(latents, t, cache_mode="apply", cache=cache), cache
+
+        def body(carry, i):
+            latents, cache = carry
+            v, cache = jax.lax.cond(
+                i % scfg.cache_interval == 0, full_step, cached_step,
+                latents, sched.timesteps[i], cache,
+            )
+            return (sched.step(i, latents, v), cache), None
+
+        (latents, _), _ = jax.lax.scan(
+            body, (latents, (d_stream0, d_text0)), jnp.arange(sched.num_steps)
+        )
         return latents
 
     def __call__(
@@ -221,6 +285,12 @@ class SRPipeline:
         )
 
         scfg = self.sampler_cfg
+        if scfg.cache_interval > 1 and scfg.cache_span is not None:
+            raise NotImplementedError(
+                "block caching (cache_interval > 1) is supported on the "
+                "untiled sample_latents path only; use cache_interval=1 "
+                "for tiled sampling"
+            )
         sched = make_schedule(
             self.scheduler_cfg, num_steps or scfg.num_inference_steps
         )
@@ -263,6 +333,12 @@ class SRPipeline:
         """One jitted denoise step for host-loop sampling (TSM/VLM feedback,
         pipeline_dit4sr.py:1214-1446). Text embeddings change value but not
         shape across steps, so this compiles exactly once."""
+        if self.sampler_cfg.cache_interval > 1 and self.sampler_cfg.cache_span:
+            raise NotImplementedError(
+                "block caching (cache_interval > 1) is supported on the "
+                "untiled sample_latents path only; the host-loop TSM sampler "
+                "re-encodes prompts per step, which invalidates cached deltas"
+            )
         sched = make_schedule(self.scheduler_cfg, num_steps)
 
         @jax.jit

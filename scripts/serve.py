@@ -85,9 +85,16 @@ def build_server(args):
         if not args.smoke:
             banner("serving RANDOM/HASH weights — load-testing only")
 
+    span = None
+    if args.cache_span:
+        lo, hi = (int(x) for x in args.cache_span.split(","))
+        span = (lo, hi)
     pipe = SRPipeline(
         mmdit, vae, mcfg, vcfg, SchedulerConfig(),
-        SamplerConfig(num_inference_steps=args.steps, align_method="adain"),
+        SamplerConfig(
+            num_inference_steps=args.steps, align_method="adain",
+            cache_interval=args.cache_interval, cache_span=span,
+        ),
     )
     return SRServer(
         pipe, {"mmdit": mparams, "vae": vparams}, encoder,
@@ -108,6 +115,12 @@ def main():
                     help="tiny geometry (CPU-friendly integration testing)")
     ap.add_argument("--once", action="store_true",
                     help="warm up, print stats, exit (CI smoke)")
+    ap.add_argument("--cache_interval", type=int, default=1,
+                    help="Delta-DiT block caching: recompute the cached span "
+                         "every N steps (1 = off, exact)")
+    ap.add_argument("--cache_span", default=None,
+                    help='block range to cache, e.g. "12,24" (with '
+                         "--cache_interval > 1)")
     args = ap.parse_args()
 
     from dit4sr_tpu.serving import serve

@@ -74,3 +74,17 @@ def test_with_override():
     cfg = mmdit_base().with_(num_layers=2)
     assert cfg.num_layers == 2
     assert mmdit_base().num_layers == 24  # frozen original unchanged
+
+
+def test_yaml_sampler_cache_fields(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "sampler:\n"
+        "  num_inference_steps: 14\n"
+        "  cache_interval: 2\n"
+        "  cache_span: [12, 24]\n"
+    )
+    s = load_yaml_config(str(p))["sampler"]
+    assert s.cache_interval == 2
+    assert s.cache_span == (12, 24)
+    assert all(isinstance(x, int) for x in s.cache_span)
