@@ -88,6 +88,10 @@ class MMDiTConfig:
     # (W_ctrl @ W_base as one matmul); requires params transformed by
     # models.mmdit.fold_control_projections
     folded_control: bool = False
+    # inference-only: attention/FFN Dense layers run w8a8 on the int8 MXU
+    # (x1.16/x1.28 measured at MMDiT shapes, tools/int8_layer_probe.py);
+    # requires params transformed by ops.quant.quantize_mmdit_params
+    w8a8: bool = False
     # remat transformer blocks to trade FLOPs for HBM during training
     remat: bool = False
 

@@ -39,6 +39,7 @@ from dit4sr_tpu.models.norms import (
     layer_norm,
 )
 from dit4sr_tpu.ops.attention import attention, merge_heads, split_heads
+from dit4sr_tpu.ops.quant import QuantDense
 from dit4sr_tpu.parallel.sharding import shard_ffn_hidden, shard_heads
 
 _zeros = nn.initializers.zeros_init()
@@ -66,7 +67,8 @@ class JointAttention(nn.Module):
         S = cfg.num_streams
         H, Dh = cfg.num_attention_heads, cfg.attention_head_dim
         D = cfg.inner_dim
-        dense = lambda name, init=None: nn.Dense(  # noqa: E731
+        dense_cls = QuantDense if cfg.w8a8 else nn.Dense
+        dense = lambda name, init=None: dense_cls(  # noqa: E731
             D,
             dtype=cfg.dtype,
             param_dtype=cfg.param_dtype,
@@ -269,7 +271,8 @@ class StreamFFN(nn.Module):
         cfg = self.cfg
         D = cfg.inner_dim
         hidden_dim = 4 * D
-        h = nn.Dense(
+        dense_cls = QuantDense if cfg.w8a8 else nn.Dense
+        h = dense_cls(
             hidden_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="proj_in"
         )(x)
         h = shard_ffn_hidden(nn.gelu(h, approximate=True))
@@ -292,7 +295,7 @@ class StreamFFN(nn.Module):
             # when they are coupling destinations (ocr in ocr2hq2ocr)
             h = jnp.stack([cur[s] for s in cfg.streams], axis=1)
 
-        return nn.Dense(
+        return dense_cls(
             D, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="proj_out"
         )(h)
 
@@ -303,15 +306,17 @@ class TextFFN(nn.Module):
     dim: int
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    w8a8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.Dense(
+        dense_cls = QuantDense if self.w8a8 else nn.Dense
+        h = dense_cls(
             4 * self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
             name="proj_in",
         )(x)
         h = nn.gelu(h, approximate=True)
-        return nn.Dense(
+        return dense_cls(
             self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out"
         )(h)
 
@@ -383,7 +388,8 @@ class JointBlock(nn.Module):
                 + c_shift_mlp[:, None, :]
             )
             tf_out = TextFFN(
-                D, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="ff_context"
+                D, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                w8a8=cfg.w8a8, name="ff_context",
             )(tf_in)
             new_text = text_x + c_gate_mlp[:, None, :] * tf_out
 

@@ -62,6 +62,16 @@ def build_server(args):
         from dit4sr_tpu.models.mmdit import fold_control_projections
 
         mparams = fold_control_projections(mparams, mcfg.with_(folded_control=False))
+    if args.w8a8:
+        # int8 serving path: quantize AFTER folding so the folded fp32
+        # products are what gets quantized (ops/quant.py docstring)
+        from dit4sr_tpu.models.mmdit import MMDiT
+        from dit4sr_tpu.ops.quant import quantize_mmdit_params
+
+        mparams = quantize_mmdit_params(mparams, mcfg)
+        mcfg = mcfg.with_(w8a8=True)
+        mmdit = MMDiT(mcfg)
+
     vae, vparams, v_ok = build_vae(vcfg, jax.random.PRNGKey(1), args.sd3_ckpt)
     encoder, e_ok = build_prompt_encoder(
         args.sd3_ckpt, t5_length=text_len - 77 if text_len > 77 else text_len,
@@ -115,6 +125,9 @@ def main():
                     help="tiny geometry (CPU-friendly integration testing)")
     ap.add_argument("--once", action="store_true",
                     help="warm up, print stats, exit (CI smoke)")
+    ap.add_argument("--w8a8", action="store_true",
+                    help="quantize attention/FFN matmuls to int8 (w8a8) for "
+                         "the int8 MXU path — approximate, ~10%% faster")
     ap.add_argument("--cache_interval", type=int, default=1,
                     help="Delta-DiT block caching: recompute the cached span "
                          "every N steps (1 = off, exact)")

@@ -139,6 +139,20 @@ def test_serve_cli_smoke(tmp_path):
     assert stats["warm"] and stats["requests"] == 0
 
 
+def test_serve_cli_smoke_w8a8(tmp_path):
+    # the int8 serving path must build, warm up, and answer stats
+    r = _run(
+        ["scripts/serve.py", "--smoke", "--once", "--port", "0",
+         "--steps", "2", "--w8a8"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    import json
+
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["warm"]
+
+
 def test_precompute_captions_cli_smoke(tmp_path):
     import cv2
     import numpy as np
