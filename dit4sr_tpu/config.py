@@ -376,21 +376,24 @@ class TrainConfig:
 class MeshConfig:
     """Logical mesh axes. The reference only has DDP (SURVEY.md §2.3); here a
     single mesh gives data, fsdp (param/optimizer sharding), tensor
-    (head/FFN-hidden sharding, up to num_heads chips), and seq (ring
-    attention over the token axis, parallel/ring_attention.py) axes."""
+    (head/FFN-hidden sharding, up to num_heads chips), seq (ring attention
+    over the token axis, parallel/ring_attention.py), and pipe (GPipe block
+    pipelining, parallel/pipeline.py) axes. There is no expert axis: none of
+    the reference's models are MoE."""
 
     data: int = 1
     fsdp: int = 1
     tensor: int = 1
     seq: int = 1
+    pipe: int = 1
 
     @property
     def axis_names(self) -> Tuple[str, ...]:
-        return ("data", "fsdp", "tensor", "seq")
+        return ("data", "fsdp", "tensor", "seq", "pipe")
 
     @property
     def shape(self) -> Tuple[int, ...]:
-        return (self.data, self.fsdp, self.tensor, self.seq)
+        return (self.data, self.fsdp, self.tensor, self.seq, self.pipe)
 
 
 # ---------------------------------------------------------------------------
