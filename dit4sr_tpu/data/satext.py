@@ -112,16 +112,30 @@ class SATextDataset:
         return len(self.records)
 
     def _read_image(self, path: str) -> np.ndarray:
-        import cv2
+        """Read + resize to (crop_size, crop_size) float32 RGB [0,1]. Prefers
+        the native libjpeg decode+resize (native/imgio.cpp: one C call, GIL
+        released, matches cv2's INTER_LINEAR convention); falls back to cv2
+        for non-JPEG/CMYK/unbuilt-lib. Retries with a random substitute
+        record on failure (reference: pho_realesrgan_dataset.py retry loop)."""
+        from dit4sr_tpu.native.imgio import decode_image
 
+        size = (self.crop_size, self.crop_size)
         last_err = None
         for _ in range(self.read_retries):
+            img = decode_image(path, size)
+            if img is not None:
+                return img
             try:
+                import cv2
+
                 img = cv2.imread(path, cv2.IMREAD_COLOR)
                 if img is None:
                     raise IOError(f"failed to read {path}")
                 img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-                return img.astype(np.float32) / 255.0
+                img = img.astype(np.float32) / 255.0
+                if img.shape[:2] != size:
+                    img = cv2.resize(img, size)
+                return img
             except Exception as e:  # retry with a random substitute
                 last_err = e
                 path = self.records[self._rng.integers(len(self.records))]["img_path"]
@@ -129,15 +143,17 @@ class SATextDataset:
 
     def __getitem__(self, idx: int) -> Dict:
         rec = self.records[idx]
-        img = (
-            rec["image"] if "image" in rec else self._read_image(rec["img_path"])
-        )
-        h, w = img.shape[:2]
-        if (h, w) != (self.crop_size, self.crop_size):
-            import cv2
+        if "image" in rec:
+            img = rec["image"]
+            if img.shape[:2] != (self.crop_size, self.crop_size):
+                import cv2
 
-            img = cv2.resize(img, (self.crop_size, self.crop_size))
+                img = cv2.resize(img, (self.crop_size, self.crop_size))
+        else:
+            img = self._read_image(rec["img_path"])
+        return self._make_item(rec, img)
 
+    def _make_item(self, rec: Dict, img: np.ndarray) -> Dict:
         prompt = synthesize_prompt(rec["text"], self.caption_style)
         if self._rng.uniform() < self.null_text_ratio:
             prompt = ""
@@ -182,18 +198,67 @@ class SATextDataset:
             batch["ocr_targets"] = pad_targets(raw, testr_cfg)
         return batch
 
-    def iter_batches(self, batch_size: int, testr_cfg=None, shuffle=True, epochs=None):
-        """Simple epoch iterator (the reference uses torch DataLoader; here a
-        plain host loop feeding jitted device steps)."""
+    def iter_batches(
+        self, batch_size: int, testr_cfg=None, shuffle=True, epochs=None,
+        decode_ahead: int = 8,
+    ):
+        """Epoch iterator (the reference uses torch DataLoader worker
+        processes; here the native decode-ahead pipeline, native/imgio.cpp,
+        keeps up to `decode_ahead` JPEG decodes in flight on C++ threads
+        while the host loop collates and feeds jitted device steps). Falls
+        back to synchronous reads when the native library is absent or the
+        records are in-memory."""
+        from dit4sr_tpu.native import imgio
+
         epoch = 0
-        while epochs is None or epoch < epochs:
-            order = np.arange(len(self))
-            if shuffle:
-                self._rng.shuffle(order)
-            for i in range(0, len(order) - batch_size + 1, batch_size):
-                items = [self[int(j)] for j in order[i : i + batch_size]]
-                yield self.collate(items, testr_cfg)
-            epoch += 1
+        loader = None
+        if decode_ahead > 0 and imgio.imgio_available() and any(
+            "image" not in r for r in self.records
+        ):
+            loader = imgio.ImageLoader(
+                (self.crop_size, self.crop_size), threads=2,
+                capacity=decode_ahead,
+            )
+        try:
+            while epochs is None or epoch < epochs:
+                order = np.arange(len(self))
+                if shuffle:
+                    self._rng.shuffle(order)
+                n_full = (len(order) // batch_size) * batch_size
+                idxs = [int(j) for j in order[:n_full]]
+                if loader is None:
+                    for i in range(0, n_full, batch_size):
+                        items = [self[j] for j in idxs[i : i + batch_size]]
+                        yield self.collate(items, testr_cfg)
+                else:
+                    sub = 0  # submit cursor; submissions == consumption order
+
+                    def pump():
+                        nonlocal sub
+                        while sub < len(idxs) and loader._pending < decode_ahead:
+                            r = self.records[idxs[sub]]
+                            if "image" not in r:
+                                loader.submit(r["img_path"])
+                            sub += 1
+
+                    items = []
+                    for j in idxs:
+                        pump()
+                        rec = self.records[j]
+                        if "image" in rec:
+                            items.append(self[j])
+                        else:
+                            img, _rc = loader.next()
+                            if img is None:  # sync retry path
+                                img = self._read_image(rec["img_path"])
+                            items.append(self._make_item(rec, img))
+                        if len(items) == batch_size:
+                            yield self.collate(items, testr_cfg)
+                            items = []
+                epoch += 1
+        finally:
+            if loader is not None:
+                loader.destroy()
 
 
 def make_synthetic_records(

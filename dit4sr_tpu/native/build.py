@@ -8,11 +8,11 @@ HERE = os.path.dirname(__file__)
 
 
 def build() -> str:
-    src = [os.path.join(HERE, "lap.cpp")]
+    src = [os.path.join(HERE, "lap.cpp"), os.path.join(HERE, "imgio.cpp")]
     out = os.path.join(HERE, "libdit4sr_native.so")
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        "-std=c++17", *src, "-o", out,
+        "-std=c++17", *src, "-o", out, "-ljpeg", "-lpthread",
     ]
     subprocess.run(cmd, check=True)
     return out
