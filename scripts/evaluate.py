@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--mmdit_ckpt", default=None)
     ap.add_argument("--vae_ckpt", default=None)
     ap.add_argument("--testr_ckpt", default=None)
+    ap.add_argument("--lora_ckpt", default=None,
+                    help="diffusers/PEFT SD3 LoRA .safetensors merged into "
+                         "the transformer (SD3LoraLoaderMixin equivalent)")
+    ap.add_argument("--lora_scale", type=float, default=1.0)
     ap.add_argument("--text_ckpt", default=None)
     ap.add_argument("--metric_weights_dir", default=None,
                     help="dir with converted LPIPS/DISTS/... weights")
@@ -128,6 +132,14 @@ def main():
         model_cfg, rng0, None if args.smoke else (args.mmdit_ckpt or args.sd3_ckpt),
         text_len=text_len,
     )
+    if args.lora_ckpt:
+        # merged before jit: zero runtime cost (models/lora.py; the
+        # reference's SD3LoraLoaderMixin surface)
+        from dit4sr_tpu.models.lora import load_sd3_lora, merge_lora
+
+        mparams = merge_lora(
+            mparams, load_sd3_lora(args.lora_ckpt), scale=args.lora_scale
+        )
     vae, vparams, vae_loaded = build_vae(
         vae_cfg, jax.random.fold_in(rng0, 1),
         None if args.smoke else (args.vae_ckpt or args.sd3_ckpt),

@@ -58,6 +58,14 @@ def build_server(args):
     mmdit, mparams, m_ok = build_mmdit(
         mcfg, jax.random.PRNGKey(0), args.sd3_ckpt, text_len=text_len
     )
+    if args.lora_ckpt:
+        # merge BEFORE folding/quantization: zero runtime cost (the TPU
+        # answer to the reference's PEFT layer patching, models/lora.py)
+        from dit4sr_tpu.models.lora import load_sd3_lora, merge_lora
+
+        mparams = merge_lora(
+            mparams, load_sd3_lora(args.lora_ckpt), scale=args.lora_scale
+        )
     if m_ok and not args.smoke:
         from dit4sr_tpu.models.mmdit import fold_control_projections
 
@@ -125,6 +133,10 @@ def main():
                     help="tiny geometry (CPU-friendly integration testing)")
     ap.add_argument("--once", action="store_true",
                     help="warm up, print stats, exit (CI smoke)")
+    ap.add_argument("--lora_ckpt", default=None,
+                    help="diffusers/PEFT SD3 LoRA .safetensors to merge into "
+                         "the transformer (SD3LoraLoaderMixin equivalent)")
+    ap.add_argument("--lora_scale", type=float, default=1.0)
     ap.add_argument("--w8a8", action="store_true",
                     help="quantize attention/FFN matmuls to int8 (w8a8) for "
                          "the int8 MXU path — approximate, ~10%% faster")

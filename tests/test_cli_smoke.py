@@ -153,6 +153,35 @@ def test_serve_cli_smoke_w8a8(tmp_path):
     assert stats["warm"]
 
 
+def test_serve_cli_smoke_lora(tmp_path):
+    # a diffusers/PEFT-format SD3 LoRA must load, merge, and serve
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    r, d = 2, 32  # mmdit_tiny inner_dim = 4 heads x 8
+    rng = np.random.default_rng(0)
+    sd = {
+        "transformer.transformer_blocks.0.attn.to_q.lora_A.weight":
+            rng.normal(size=(r, d)).astype(np.float32),
+        "transformer.transformer_blocks.0.attn.to_q.lora_B.weight":
+            0.01 * rng.normal(size=(d, r)).astype(np.float32),
+        "transformer.transformer_blocks.0.attn.to_q.alpha":
+            np.asarray(4.0, np.float32),
+    }
+    path = tmp_path / "lora.safetensors"
+    save_file(sd, str(path))
+    res = _run(
+        ["scripts/serve.py", "--smoke", "--once", "--port", "0",
+         "--steps", "2", "--lora_ckpt", str(path), "--lora_scale", "0.5"],
+        tmp_path,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    import json
+
+    stats = json.loads(res.stdout.strip().splitlines()[-1])
+    assert stats["warm"]
+
+
 def test_precompute_captions_cli_smoke(tmp_path):
     import cv2
     import numpy as np
