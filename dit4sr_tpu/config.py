@@ -356,6 +356,10 @@ class TrainConfig:
     logit_std: float = 1.0
     mode_scale: float = 1.29
     precondition_outputs: bool = True
+    # EMA of the trainable partition (0 = off, the reference's only mode).
+    # Standard diffusion-finetune practice: eval/export uses
+    # train_step.ema_params(state, mask); warmup ramp min(d, (1+t)/(10+t))
+    ema_decay: float = 0.0
     null_text_ratio: float = 0.1
     seed: int = 42
     checkpointing_steps: int = 500

@@ -28,6 +28,22 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    # EMA of the TRAINABLE partition (None when train_cfg.ema_decay == 0).
+    # The reference has no EMA; standard diffusion-finetune practice added
+    # here as an opt-in (diffusers EMAModel-style warmup ramp).
+    ema: Any = None
+
+
+def ema_params(state: TrainState, mask) -> Any:
+    """Full param tree with the trainable partition replaced by its EMA
+    (for eval/checkpoint-export). `mask` is the trainability pytree from
+    make_optimizer. Returns state.params unchanged when EMA is off."""
+    from dit4sr_tpu.train.train_state import combine_params, partition_params
+
+    if state.ema is None:
+        return state.params
+    _, f_params = partition_params(state.params, mask)
+    return combine_params(state.ema, f_params)
 
 
 class Batch(NamedTuple):
@@ -161,9 +177,18 @@ def make_train_step(
             opt_state,
             state.opt_state,
         )
+        ema = state.ema
+        if train_cfg.ema_decay > 0.0 and ema is not None:
+            # diffusers EMAModel-style warmup: ramp toward the target decay
+            # so early steps aren't anchored to the random/pretrained init
+            t = state.step.astype(jnp.float32) + 1.0
+            d = jnp.minimum(train_cfg.ema_decay, (1.0 + t) / (10.0 + t))
+            ema = jax.tree.map(
+                lambda e, p: e + (1.0 - d) * (p.astype(e.dtype) - e), ema, new_t
+            )
         params = (
             combine_params(new_t, f_params) if mask is not None else new_t
         )
-        return TrainState(params, opt_state, state.step + 1), metrics
+        return TrainState(params, opt_state, state.step + 1, ema), metrics
 
     return train_step

@@ -237,7 +237,17 @@ class Trainer:
         # one jitted program (not per-leaf eager zeros): the runtime can
         # plan the whole allocation instead of creeping up on the limit
         opt_state = jax.jit(self.tx.init)(partition_params(params, self.mask)[0])
-        return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+        ema = None
+        if self.train_cfg.ema_decay > 0.0:
+            # EMA covers only the trainable partition (frozen params never
+            # move); fp32 copy, same layout as the optimizer's master params
+            ema = jax.jit(
+                lambda p: jax.tree.map(
+                    lambda x: x.astype(jnp.float32),
+                    partition_params(p, self.mask)[0],
+                )
+            )(params)
+        return TrainState(params, opt_state, jnp.zeros((), jnp.int32), ema)
 
     def make_preprocess_fn(self) -> Callable:
         """Jitted (vae_params, rng, gt_images, degradation_params) ->
@@ -283,8 +293,12 @@ class Trainer:
             SamplerConfig(num_inference_steps=num_steps, align_method="adain"),
         )
         fn = pipe.jit()
+        from dit4sr_tpu.train.train_step import ema_params
+
+        # validate with the EMA weights when EMA is on (standard practice)
+        eval_tree = ema_params(state, self.mask)
         mmdit_params = (
-            state.params["mmdit"] if "mmdit" in state.params else state.params
+            eval_tree["mmdit"] if "mmdit" in eval_tree else eval_tree
         )
         params = {"mmdit": mmdit_params, "vae": vae_params}
         evaluator = Evaluator()

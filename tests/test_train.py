@@ -120,3 +120,54 @@ def test_fsdp_sharding_runs():
     with mesh:
         new_state, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["diff_loss"]))
+
+
+def test_ema_tracks_trainable_partition_and_swaps():
+    from dit4sr_tpu.train.train_step import ema_params
+
+    cfg = mmdit_tiny()
+    model, params = init_mmdit(jax.random.PRNGKey(0), cfg, text_len=TEXT_LEN)
+    tcfg = TrainConfig(
+        stage="stage1", gradient_accumulation_steps=1,
+        finetune_layer_names=(), ema_decay=0.999,
+    )
+    tx, mask = make_optimizer(params, tcfg)
+    t0 = partition_params(params, mask)[0]
+    ema0 = jax.tree.map(lambda x: x.astype(jnp.float32), t0)
+    state = TrainState(params, tx.init(t0), jnp.zeros((), jnp.int32), ema0)
+    step = jax.jit(make_train_step(model, tx, tcfg, mask=mask))
+    batch = _batch(cfg)
+
+    for _ in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+
+    t_now = partition_params(state.params, mask)[0]
+    d_init = max(
+        float(jnp.abs(e - i).max())
+        for e, i in zip(jax.tree.leaves(state.ema), jax.tree.leaves(ema0))
+    )
+    d_now = max(
+        float(jnp.abs(e - p).max())
+        for e, p in zip(jax.tree.leaves(state.ema), jax.tree.leaves(t_now))
+    )
+    assert d_init > 0, "EMA never moved"
+    assert d_now > 0, "EMA must lag the raw params"
+    # warmup ramp: effective decay at steps 1-3 is (2/11, 3/12, 4/13), so the
+    # EMA hugs the current params much more than the init
+    assert d_now < d_init
+
+    # swap: frozen/untargeted leaves identical to params, trainable = ema
+    full = ema_params(state, mask)
+    from flax import traverse_util
+
+    flat_f = traverse_util.flatten_dict(full)
+    flat_p = traverse_util.flatten_dict(state.params)
+    flat_e = traverse_util.flatten_dict(state.ema)
+    for k, v in flat_e.items():
+        if v is not None:
+            np.testing.assert_array_equal(np.asarray(flat_f[k]), np.asarray(v))
+    assert set(flat_f) == set(flat_p)
+
+    # ema off -> passthrough
+    off = TrainState(state.params, state.opt_state, state.step)
+    assert ema_params(off, mask) is state.params
