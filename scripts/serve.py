@@ -133,6 +133,10 @@ def main():
                     help="tiny geometry (CPU-friendly integration testing)")
     ap.add_argument("--once", action="store_true",
                     help="warm up, print stats, exit (CI smoke)")
+    ap.add_argument("--compile_cache", default="on", choices=("on", "off"),
+                    help="persist compiled executables to disk "
+                         "(~/.cache/dit4sr_tpu/xla or $DIT4SR_COMPILE_CACHE) "
+                         "so server restarts skip the ~100 s warmup compile")
     ap.add_argument("--lora_ckpt", default=None,
                     help="diffusers/PEFT SD3 LoRA .safetensors to merge into "
                          "the transformer (SD3LoraLoaderMixin equivalent)")
@@ -150,6 +154,10 @@ def main():
 
     from dit4sr_tpu.serving import serve
 
+    if args.compile_cache == "on":
+        from dit4sr_tpu.utils.compile_cache import enable_persistent_cache
+
+        print(f"compile cache: {enable_persistent_cache()}")
     server = build_server(args)
     httpd = serve(server, args.host, args.port, warmup=True)
     if args.once:
