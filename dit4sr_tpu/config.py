@@ -360,6 +360,9 @@ class TrainConfig:
     # Standard diffusion-finetune practice: eval/export uses
     # train_step.ema_params(state, mask); warmup ramp min(d, (1+t)/(10+t))
     ema_decay: float = 0.0
+    # per-module gradient-norm metrics ("gn/<module>/<submodule>"), the
+    # reference's grads-by-name txt dumps (train_dit4sr.py:407-479)
+    log_grad_norms: bool = False
     null_text_ratio: float = 0.1
     seed: int = 42
     checkpointing_steps: int = 500

@@ -161,6 +161,21 @@ def make_train_step(
         # params_to_clip (train_dit4sr.py:398)
         gnorm = optax.global_norm(grads)
         metrics["grad_norm"] = gnorm
+        if train_cfg.log_grad_norms:
+            # per-module norms, grouped at two path levels — the jittable
+            # equivalent of the reference's top-grads-by-name txt dumps
+            # (train_dit4sr.py:407-479)
+            from flax import traverse_util
+
+            groups: dict = {}
+            for path, g in traverse_util.flatten_dict(grads).items():
+                if g is None:
+                    continue
+                parts = [str(p) for p in path if p != "params"]
+                key = "/".join(parts[:2])
+                groups.setdefault(key, []).append(jnp.sum(g.astype(jnp.float32) ** 2))
+            for key, sq in groups.items():
+                metrics[f"gn/{key}"] = jnp.sqrt(sum(sq))
         updates, opt_state = tx.update(grads, state.opt_state, t_params)
         new_t = optax.apply_updates(t_params, updates)
         # failure containment the reference lacks (SURVEY.md §5): a step with

@@ -219,6 +219,7 @@ class Trainer:
             jax.block_until_ready(params)
         train_n, total_n = count_trainable(params, self.mask)
         self.logger.log(0, {"trainable_params": train_n, "total_params": total_n})
+        self._dump_train_params(params)
 
         ocr_fn = None
         if self.spotter is not None and self.train_cfg.stage in ("stage2", "stage3"):
@@ -248,6 +249,20 @@ class Trainer:
                 )
             )(params)
         return TrainState(params, opt_state, jnp.zeros((), jnp.int32), ema)
+
+    def _dump_train_params(self, params):
+        """Write the trainable/frozen listing to train_params.txt — the
+        reference's per-experiment artifact (train_dit4sr.py:163-172)."""
+        from flax import traverse_util
+
+        flat_p = traverse_util.flatten_dict(params, sep="/")
+        flat_m = traverse_util.flatten_dict(self.mask, sep="/")
+        path = os.path.join(self.out_dir, "train_params.txt")
+        with open(path, "w") as f:
+            for k in sorted(flat_p):
+                tag = "TRAIN " if flat_m[k] else "frozen"
+                shape = tuple(getattr(flat_p[k], "shape", ()))
+                f.write(f"{tag} {k} {shape}\n")
 
     def make_preprocess_fn(self) -> Callable:
         """Jitted (vae_params, rng, gt_images, degradation_params) ->

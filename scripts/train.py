@@ -149,6 +149,10 @@ def main():
         cfgs.get("scheduler", SchedulerConfig()),
         out_dir=out_dir, use_wandb=args.wandb,
     )
+    # per-experiment config copy, like the reference (initialize.py:124)
+    import shutil
+
+    shutil.copyfile(args.config, os.path.join(out_dir, "train_config.yaml"))
 
     # data
     data = raw.get("data", {})

@@ -45,6 +45,10 @@ def test_train_cli_smoke(stage, tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     assert "finished at step 2" in r.stdout
     assert (tmp_path / stage / "metrics.jsonl").exists()
+    # per-experiment artifacts (reference initialize.py:124, train_dit4sr.py:163-172)
+    assert (tmp_path / stage / "train_config.yaml").exists()
+    listing = (tmp_path / stage / "train_params.txt").read_text()
+    assert "TRAIN" in listing and "frozen" in listing
 
 
 def test_evaluate_cli_smoke(tmp_path):

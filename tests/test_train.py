@@ -171,3 +171,16 @@ def test_ema_tracks_trainable_partition_and_swaps():
     # ema off -> passthrough
     off = TrainState(state.params, state.opt_state, state.step)
     assert ema_params(off, mask) is state.params
+
+
+def test_per_module_grad_norm_metrics():
+    cfg, model, state, step, _ = _setup(
+        {"finetune_layer_names": (), "log_grad_norms": True}
+    )
+    batch = _batch(cfg)
+    _, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
+    gn_keys = [k for k in metrics if k.startswith("gn/")]
+    assert any("blocks_0" in k for k in gn_keys), gn_keys
+    total = float(metrics["grad_norm"])
+    recon = float(jnp.sqrt(sum(metrics[k] ** 2 for k in gn_keys)))
+    np.testing.assert_allclose(recon, total, rtol=1e-5)
