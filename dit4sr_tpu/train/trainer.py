@@ -355,9 +355,32 @@ class Trainer:
 
         from dit4sr_tpu.data.degradation import sample_params
 
+        # preemption safety (TPU pods get reclaimed; the reference has no
+        # handling — SURVEY.md §5 "no preemption handling"): SIGTERM/SIGINT
+        # sets a flag, the loop checkpoints the current state and returns
+        # cleanly so the next start resumes at the exact step.
+        import signal
+
+        self._preempted = False
+
+        def _on_signal(signum, frame):
+            self._preempted = True
+
+        prev_handlers = []
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev_handlers.append((sig, signal.signal(sig, _on_signal)))
+            except ValueError:  # not the main thread: no handler, no safety
+                pass
+
         t_prev = None
         for batch in batches:
             step = int(state.step)
+            if self._preempted:
+                self.ckpt.save(step, state)
+                self.logger.log(step, {"preempted": 1.0})
+                print(f"preempted: checkpointed step {step}, exiting cleanly")
+                break
             if step >= target:
                 break
             gt = jnp.asarray(batch["gt"])
@@ -388,4 +411,6 @@ class Trainer:
                 self.logger.log(step, metrics)
             if (step + 1) % self.train_cfg.checkpointing_steps == 0:
                 self.ckpt.save(step + 1, state)
+        for sig, h in prev_handlers:
+            signal.signal(sig, h)
         return state

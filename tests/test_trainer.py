@@ -177,3 +177,36 @@ def test_frozen_params_stored_in_compute_dtype(tmp_path):
     assert int(state.step) == 2
     new_flat = traverse_util.flatten_dict(state.params, sep="/")
     assert all(new_flat[k].dtype == mcfg.dtype for k in froz)
+
+
+def test_preemption_checkpoints_and_exits_cleanly(tmp_path):
+    """SIGTERM mid-training -> checkpoint at the current step + clean return
+    (the reference has no preemption handling, SURVEY.md §5)."""
+    import os
+    import signal
+
+    trainer, mcfg, vcfg, _ = _mk_trainer(tmp_path, "stage1", with_testr=False)
+    state = trainer.init_state(jax.random.PRNGKey(0), text_len=TEXT_LEN, latent_size=8)
+    vae = AutoencoderKL(vcfg)
+    vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, IMG, IMG, 3), vcfg.dtype))
+
+    def batches_with_sigterm():
+        for i, b in enumerate(_batches(n=10)):
+            if i == 2:
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield b
+
+    state = trainer.fit(
+        state, batches_with_sigterm(), vparams, _prompt_fn,
+        jax.random.PRNGKey(2), num_steps=10, resume=False,
+    )
+    # 2 steps completed before the signal landed; step 2 is checkpointed
+    assert int(state.step) == 2
+    assert trainer.ckpt.latest_step() == 2
+    # default handlers restored? fit re-installs on every call, but after a
+    # preempted run the process must still be alive to get here — and a
+    # fresh fit must run normally
+    import json
+
+    lines = [json.loads(l) for l in open(trainer.logger.path)]
+    assert any(l.get("preempted") for l in lines)
