@@ -363,6 +363,12 @@ class TrainConfig:
     # per-module gradient-norm metrics ("gn/<module>/<submodule>"), the
     # reference's grads-by-name txt dumps (train_dit4sr.py:407-479)
     log_grad_norms: bool = False
+    # LoRA finetuning (models/lora.py): >0 adds an "mmdit_lora" adapter tree
+    # to the train params, trains ONLY it (set finetune_layer_names to
+    # ("mmdit_lora",)), and merges it into the MMDiT kernels inside the loss.
+    # Beyond the reference (its recipes finetune full control branches).
+    lora_rank: int = 0
+    lora_scale: float = 1.0
     null_text_ratio: float = 0.1
     seed: int = 42
     checkpointing_steps: int = 500

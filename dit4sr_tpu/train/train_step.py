@@ -125,6 +125,14 @@ def make_train_step(
         )
         rng, rng_drop = jax.random.split(rng)
         mmdit_params = params["mmdit"] if "mmdit" in params else params
+        if isinstance(params, dict) and "mmdit_lora" in params:
+            # LoRA finetune mode: merge the adapter inside the loss so AD
+            # routes gradients into the (only-trainable) a/b factors
+            from dit4sr_tpu.models.lora import merge_lora
+
+            mmdit_params = merge_lora(
+                mmdit_params, params["mmdit_lora"], train_cfg.lora_scale
+            )
         diff_loss, (sigmas, feats) = flow_matching_loss(
             mmdit, mmdit_params, batch, rng, train_cfg, sched_cfg,
             extract_features=need_feats,

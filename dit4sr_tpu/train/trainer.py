@@ -197,6 +197,17 @@ class Trainer:
                 testr_params = self.spotter.init(jax.random.fold_in(rng, 1), feats)
             params["testr"] = testr_params
 
+        if self.train_cfg.lora_rank > 0:
+            # adapter-only finetuning: the adapter is just another subtree,
+            # so masks/partitioning/EMA/checkpointing all apply unchanged;
+            # configs should set finetune_layer_names=("mmdit_lora",)
+            from dit4sr_tpu.models.lora import init_lora_params
+
+            params["mmdit_lora"] = init_lora_params(
+                jax.random.fold_in(rng, 7), params["mmdit"],
+                self.train_cfg.lora_rank,
+            )
+
         self.tx, self.mask = make_optimizer(params, self.train_cfg)
         if self.train_cfg.frozen_params_in_compute_dtype:
             # normalize storage dtypes: trainable -> fp32 master, frozen ->
@@ -315,6 +326,12 @@ class Trainer:
         mmdit_params = (
             eval_tree["mmdit"] if "mmdit" in eval_tree else eval_tree
         )
+        if isinstance(eval_tree, dict) and "mmdit_lora" in eval_tree:
+            from dit4sr_tpu.models.lora import merge_lora
+
+            mmdit_params = merge_lora(
+                mmdit_params, eval_tree["mmdit_lora"], self.train_cfg.lora_scale
+            )
         params = {"mmdit": mmdit_params, "vae": vae_params}
         evaluator = Evaluator()
         records = []

@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--testr_ckpt", default=None, help="TESTR .pt/.safetensors")
     ap.add_argument("--text_ckpt", default=None,
                     help="root with text_encoder{,_2,_3} + tokenizers (overrides --sd3_ckpt)")
+    ap.add_argument("--lora_rank", type=int, default=0,
+                    help="train ONLY a rank-N LoRA adapter on the MMDiT "
+                         "(models/lora.py); base weights stay frozen")
     ap.add_argument("--num_steps", type=int, default=None)
     ap.add_argument("--wandb", action="store_true")
     ap.add_argument("--smoke", action="store_true",
@@ -139,6 +142,15 @@ def main():
         # upcasts the trainable partition to its fp32 master
         model_cfg = model_cfg.with_(param_dtype=jnp.bfloat16)
         vae_cfg = vae_cfg.with_(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+
+    if args.lora_rank > 0:
+        import dataclasses
+
+        train_cfg = dataclasses.replace(
+            train_cfg,
+            lora_rank=args.lora_rank,
+            finetune_layer_names=("mmdit_lora",),
+        )
 
     out_dir = args.out_dir or os.path.join(
         "runs", os.path.splitext(os.path.basename(args.config))[0]

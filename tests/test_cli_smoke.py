@@ -207,3 +207,20 @@ def test_precompute_captions_cli_smoke(tmp_path):
     txts = list(out_dir.glob("*.txt"))
     assert len(txts) == 2
     assert txts[0].read_text().strip()
+
+
+def test_train_cli_smoke_lora(tmp_path):
+    # adapter-only finetune mode drives the same CLI end to end
+    r = _run(
+        [
+            "scripts/train.py",
+            "--config", "configs/train_stage1.yaml",
+            "--smoke", "--lora_rank", "2",
+            "--out_dir", str(tmp_path / "lora"),
+        ],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "finished at step 2" in r.stdout
+    listing = (tmp_path / "lora" / "train_params.txt").read_text()
+    assert "mmdit_lora" in listing

@@ -210,3 +210,35 @@ def test_preemption_checkpoints_and_exits_cleanly(tmp_path):
 
     lines = [json.loads(l) for l in open(trainer.logger.path)]
     assert any(l.get("preempted") for l in lines)
+
+
+def test_lora_finetune_mode(tmp_path):
+    """lora_rank > 0: only the mmdit_lora adapter trains; the base MMDiT is
+    bit-frozen, and the adapter actually moves."""
+    import dataclasses
+
+    from flax import traverse_util
+
+    trainer, mcfg, vcfg, _ = _mk_trainer(tmp_path, "stage1", with_testr=False)
+    trainer.train_cfg = dataclasses.replace(
+        trainer.train_cfg, lora_rank=2, finetune_layer_names=("mmdit_lora",)
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), text_len=TEXT_LEN, latent_size=8)
+    assert "mmdit_lora" in state.params
+    base_before = jax.tree.map(lambda x: np.asarray(x).copy(), state.params["mmdit"])
+
+    vae = AutoencoderKL(vcfg)
+    vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, IMG, IMG, 3), vcfg.dtype))
+    state = trainer.fit(
+        state, _batches(n=2), vparams, _prompt_fn, jax.random.PRNGKey(2),
+        num_steps=2, resume=False,
+    )
+    assert int(state.step) == 2
+    for a, b in zip(jax.tree.leaves(base_before),
+                    jax.tree.leaves(state.params["mmdit"])):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    flat_l = traverse_util.flatten_dict(state.params["mmdit_lora"])
+    assert any(
+        float(np.abs(np.asarray(v)).max()) > 0
+        for k, v in flat_l.items() if k[-1] == "b"
+    ), "adapter b factors never moved"
