@@ -21,7 +21,7 @@ from dit4sr_tpu.pipelines.sr_pipeline import SRPipeline, bicubic_upscale
 NUM_STEPS = 28
 
 
-def run(w8a8: bool, cache: bool) -> float:
+def run(w8a8: bool, cache: bool, interval: int = 2, span=(12, 24)) -> float:
     base_cfg = mmdit_base().with_(param_dtype=jnp.bfloat16)
     mcfg = base_cfg.with_(folded_control=True)
     vcfg = VAEConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
@@ -47,8 +47,8 @@ def run(w8a8: bool, cache: bool) -> float:
     scfg = SamplerConfig(
         num_inference_steps=NUM_STEPS,
         align_method="adain",
-        cache_interval=2 if cache else 1,
-        cache_span=(12, 24) if cache else None,
+        cache_interval=interval if cache else 1,
+        cache_span=span if cache else None,
     )
     pipe = SRPipeline(mmdit, vae, mcfg, vcfg, SchedulerConfig(), scfg)
     fn = pipe.jit()
@@ -68,10 +68,17 @@ def run(w8a8: bool, cache: bool) -> float:
         float(out.astype(jnp.float32).sum())
         times.append(time.perf_counter() - t0)
     p50 = sorted(times)[len(times) // 2]
-    print(f"w8a8={w8a8} cache={cache}: {p50:.3f} s/image", flush=True)
+    tag = f" interval={interval} span={span}" if cache else ""
+    print(f"w8a8={w8a8} cache={cache}{tag}: {p50:.3f} s/image", flush=True)
     return p50
 
 
 if __name__ == "__main__":
-    run(w8a8=True, cache=False)
-    run(w8a8=True, cache=True)
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        for interval in (2, 3):
+            run(w8a8=True, cache=True, interval=interval)
+    else:
+        run(w8a8=True, cache=False)
+        run(w8a8=True, cache=True)
