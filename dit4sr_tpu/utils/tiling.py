@@ -20,7 +20,7 @@ TPU adaptations:
 from __future__ import annotations
 
 import math
-from typing import Callable, List, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -124,9 +124,13 @@ def tiled_apply(
 def tiled_vae_decode(
     vae, vae_params, latents: jnp.ndarray, vae_cfg,
     tile: int = 64, overlap: int = 16, chunk: int = 1,
+    shard_axis: Optional[str] = None, shard_size: int = 1,
 ) -> jnp.ndarray:
     """Decode large latents tile-by-tile (vaehook equivalent). `tile` is in
-    latent units (64 latent -> 512 px)."""
+    latent units (64 latent -> 512 px). With `shard_axis` (inside a mesh)
+    the whole tile batch decodes as ONE sharded call — each chip holds
+    tiles/n_chips of the activation memory, replacing the host `chunk`
+    memory bound."""
     from dit4sr_tpu.models.vae import AutoencoderKL, unscale_latent
 
     def decode(z):
@@ -134,7 +138,17 @@ def tiled_vae_decode(
         return img.astype(jnp.float32)
 
     z = unscale_latent(latents.astype(vae_cfg.dtype), vae_cfg)
-    img = tiled_apply(decode, z, tile, overlap, scale=8, chunk=chunk)
+    if shard_axis is not None:
+        B, H, W, C = z.shape
+        if H <= tile and W <= tile:
+            img = decode(z)
+        else:
+            tiles, offs = extract_tiles(z, tile, overlap)
+            (tiles,), n = _shard_tile_batch((tiles,), shard_axis, shard_size)
+            outs = decode(tiles)[:n]
+            img = stitch_tiles(outs, offs, (H * 8, W * 8), B, scale=8)
+    else:
+        img = tiled_apply(decode, z, tile, overlap, scale=8, chunk=chunk)
     return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
 
 
@@ -163,10 +177,37 @@ def tiled_vae_encode(
     return stitch_tiles(outs, offs8, (H // 8, W // 8), B)
 
 
-def make_tiled_velocity(velocity_fn: Callable, tile: int, overlap: int) -> Callable:
+def _shard_tile_batch(arrs, shard_axis: str, shard_size: int):
+    """Pad each array's leading (tile-batch) axis to a multiple of the mesh
+    axis size and constrain it to be sharded over `shard_axis`. Returns the
+    processed arrays and the original length (to slice results back)."""
+    from jax.sharding import PartitionSpec as P
+
+    n = arrs[0].shape[0]
+    pad = (-n) % max(shard_size, 1)
+    out = []
+    for a in arrs:
+        if a is None:
+            out.append(None)
+            continue
+        if pad:
+            a = jnp.concatenate([a, a[:pad]], axis=0)
+        out.append(jax.lax.with_sharding_constraint(a, P(shard_axis)))
+    return out, n
+
+
+def make_tiled_velocity(
+    velocity_fn: Callable, tile: int, overlap: int,
+    shard_axis: Optional[str] = None, shard_size: int = 1,
+) -> Callable:
     """Wrap a velocity(latents, control, ...) into a gaussian-stitched tiled
     version (pipeline_dit4sr.py:1449-1558). All tiles are batched into ONE
-    transformer call — text/pooled embeddings are broadcast per tile."""
+    transformer call — text/pooled embeddings are broadcast per tile.
+
+    With `shard_axis` (inside a mesh), the tile batch is padded to a multiple
+    of `shard_size` and sharded over that mesh axis, so a 2K/4K step's tiles
+    split across chips — tile-level data parallelism the reference's
+    sequential tile loop cannot express."""
 
     def tiled(latents, control, text_embeds, pooled, t,
               neg_text_embeds=None, neg_pooled_embeds=None):
@@ -181,7 +222,13 @@ def make_tiled_velocity(velocity_fn: Callable, tile: int, overlap: int) -> Calla
         pe = jnp.tile(pooled, (T, 1))
         nte = None if neg_text_embeds is None else jnp.tile(neg_text_embeds, (T, 1, 1))
         npe = None if neg_pooled_embeds is None else jnp.tile(neg_pooled_embeds, (T, 1))
-        v = velocity_fn(lt, ct, te, pe, t, nte, npe)
+        if shard_axis is not None:
+            (lt, ct, te, pe, nte, npe), n = _shard_tile_batch(
+                (lt, ct, te, pe, nte, npe), shard_axis, shard_size
+            )
+            v = velocity_fn(lt, ct, te, pe, t, nte, npe)[:n]
+        else:
+            v = velocity_fn(lt, ct, te, pe, t, nte, npe)
         return stitch_tiles(v, offs, (H, W), B)
 
     return tiled

@@ -101,3 +101,46 @@ def _text_inputs(b=1):
         jnp.asarray(rng.normal(size=(b, TEXT_LEN, 24)), jnp.float32),
         jnp.asarray(rng.normal(size=(b, 16)), jnp.float32),
     )
+
+
+def test_tiled_sampler_sharded_tiles_match_unsharded():
+    """tile_shard_axis: the tile batch shards over a 'data' mesh axis and the
+    result matches the single-device tiled output (multi-chip 2K/4K SR)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dit4sr_tpu.config import MeshConfig
+    from dit4sr_tpu.parallel.mesh import make_mesh
+
+    mcfg = mmdit_tiny(in_channels=4, out_channels=4, sample_size=8)
+    vcfg = vae_tiny()
+    mmdit, mparams = init_mmdit(jax.random.PRNGKey(0), mcfg, text_len=TEXT_LEN)
+    vae = AutoencoderKL(vcfg)
+    vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3), vcfg.dtype))
+    pipe = SRPipeline(
+        mmdit, vae, mcfg, vcfg, SchedulerConfig(),
+        SamplerConfig(
+            num_inference_steps=2, align_method="nofix",
+            latent_tiled_size=4, latent_tiled_overlap=2,
+        ),
+    )
+    params = {"mmdit": mparams, "vae": vparams}
+    lq = jnp.asarray(np.random.default_rng(2).uniform(size=(1, 64, 64, 3)), jnp.float32)
+    text, pooled = _text_inputs()
+    rng = jax.random.PRNGKey(3)
+
+    ref = pipe.call_tiled(params, rng, lq, text, pooled, vae_tile=4)
+
+    mesh = make_mesh(MeshConfig(data=8), jax.devices()[:8])
+    fn = jax.jit(
+        lambda p, r, x, te, pe: pipe.call_tiled(
+            p, r, x, te, pe, vae_tile=4,
+            tile_shard_axis="data", tile_shard_size=8,
+        )
+    )
+    with mesh:
+        rep = NamedSharding(mesh, P())
+        got = fn(
+            jax.device_put(params, rep), rng, jax.device_put(lq, rep),
+            jax.device_put(text, rep), jax.device_put(pooled, rep),
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2)
