@@ -63,6 +63,10 @@ def main():
         build_testr,
         build_vae,
     )
+    from dit4sr_tpu.parallel.distributed import maybe_initialize_multihost
+
+    if maybe_initialize_multihost():
+        print(f"multi-host: process {jax.process_index()}/{jax.process_count()}")
     from dit4sr_tpu.config import (
         MMDiTConfig,
         SchedulerConfig,
