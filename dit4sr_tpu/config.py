@@ -372,6 +372,11 @@ class TrainConfig:
     null_text_ratio: float = 0.1
     seed: int = 42
     checkpointing_steps: int = 500
+    # in-training validation cadence (reference train_dit4sr.py:519-748 runs
+    # the full pipeline inside training); 0 = off, or pass val_samples to
+    # Trainer.fit and set a step interval
+    validation_steps: int = 0
+    validation_num_inference_steps: int = 20
     # store FROZEN params in the model's compute dtype (bf16) instead of the
     # fp32 master layout: they are never updated, and the forward casts to
     # compute dtype anyway — saves ~4.7 GB at SD3.5-medium size, which is

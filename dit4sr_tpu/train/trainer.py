@@ -361,9 +361,13 @@ class Trainer:
         rng: jax.Array,
         num_steps: Optional[int] = None,
         resume: bool = True,
+        val_samples=None,
     ) -> TrainState:
         """batches yield dicts from SATextDataset.collate; encode_prompt_fn:
-        list[str] -> (text_embeds, pooled)."""
+        list[str] -> (text_embeds, pooled). With `val_samples` (see
+        validate()) and train_cfg.validation_steps > 0, the full SR pipeline
+        runs on them every N steps and logs val/* metrics — the reference's
+        in-training validation (train_dit4sr.py:519-748)."""
         if resume:
             state = self.ckpt.restore(state, release_template=True)
         preprocess = self.make_preprocess_fn()
@@ -428,6 +432,16 @@ class Trainer:
                 self.logger.log(step, metrics)
             if (step + 1) % self.train_cfg.checkpointing_steps == 0:
                 self.ckpt.save(step + 1, state)
+            if (
+                val_samples
+                and self.train_cfg.validation_steps > 0
+                and (step + 1) % self.train_cfg.validation_steps == 0
+            ):
+                self.validate(
+                    state, vae_params, val_samples, encode_prompt_fn,
+                    jax.random.fold_in(rng, 0x5EED),
+                    num_steps=self.train_cfg.validation_num_inference_steps,
+                )
         for sig, h in prev_handlers:
             signal.signal(sig, h)
         return state

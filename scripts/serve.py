@@ -58,6 +58,19 @@ def build_server(args):
     mmdit, mparams, m_ok = build_mmdit(
         mcfg, jax.random.PRNGKey(0), args.sd3_ckpt, text_len=text_len
     )
+    if args.distilled_ckpt:
+        # few-step student from scripts/distill.py (orbax phase_<N> dir);
+        # pair with --steps N matching the phase
+        import numpy as np
+        import orbax.checkpoint as ocp
+
+        template = jax.tree.map(
+            lambda x: np.empty(x.shape, x.dtype), jax.device_get(mparams)
+        )
+        mparams = ocp.StandardCheckpointer().restore(
+            os.path.abspath(args.distilled_ckpt), template
+        )
+        m_ok = True
     if args.lora_ckpt:
         # merge BEFORE folding/quantization: zero runtime cost (the TPU
         # answer to the reference's PEFT layer patching, models/lora.py)
@@ -133,6 +146,9 @@ def main():
                     help="tiny geometry (CPU-friendly integration testing)")
     ap.add_argument("--once", action="store_true",
                     help="warm up, print stats, exit (CI smoke)")
+    ap.add_argument("--distilled_ckpt", default=None,
+                    help="orbax phase_<N> dir from scripts/distill.py — "
+                         "serve the few-step student (set --steps N)")
     ap.add_argument("--compile_cache", default="on", choices=("on", "off"),
                     help="persist compiled executables to disk "
                          "(~/.cache/dit4sr_tpu/xla or $DIT4SR_COMPILE_CACHE) "

@@ -234,6 +234,31 @@ def main():
             + " — pass --sd3_ckpt (and --testr_ckpt) for a real run"
         )
 
+    # in-training validation samples (reference train_dit4sr.py:519-748):
+    # optional data.val_lq_path/val_gt_path globs, capped at 4 images
+    val_samples = None
+    if train_cfg.validation_steps > 0 and data.get("val_lq_path"):
+        import cv2
+        import numpy as np
+        from glob import glob
+
+        def _read(p):
+            img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+            return img.astype(np.float32) / 255.0
+
+        lqs = sorted(glob(os.path.join(data["val_lq_path"], "*.jpg")))[:4]
+        gt_dir = data.get("val_gt_path")
+        val_samples = [
+            {
+                "lq": _read(p),
+                "gt": _read(os.path.join(gt_dir, os.path.basename(p)))
+                if gt_dir else None,
+                "prompt": "",
+                "img_id": os.path.splitext(os.path.basename(p))[0],
+            }
+            for p in lqs
+        ]
+
     state = trainer.init_state(
         rng, mmdit_params, testr_params,
         latent_size=latent_size, text_len=text_len,
@@ -241,6 +266,7 @@ def main():
     state = trainer.fit(
         state, batches, vae_params, encoder,
         jax.random.PRNGKey(train_cfg.seed + 1), num_steps=num_steps,
+        val_samples=val_samples,
     )
     print(f"finished at step {int(state.step)}; artifacts in {out_dir}")
 

@@ -224,3 +224,26 @@ def test_train_cli_smoke_lora(tmp_path):
     assert "finished at step 2" in r.stdout
     listing = (tmp_path / "lora" / "train_params.txt").read_text()
     assert "mmdit_lora" in listing
+
+
+def test_serve_distilled_student_cli_smoke(tmp_path):
+    """distill --smoke then serve its phase_2 student: the few-step
+    deployment chain works end to end."""
+    r = _run(
+        ["scripts/distill.py", "--config", "configs/train_stage1.yaml",
+         "--smoke", "--out_dir", str(tmp_path / "d")],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    phase = tmp_path / "d" / "phase_2"
+    assert phase.exists()
+    res = _run(
+        ["scripts/serve.py", "--smoke", "--once", "--port", "0",
+         "--steps", "2", "--distilled_ckpt", str(phase)],
+        tmp_path,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    import json
+
+    stats = json.loads(res.stdout.strip().splitlines()[-1])
+    assert stats["warm"]

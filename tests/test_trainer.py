@@ -242,3 +242,30 @@ def test_lora_finetune_mode(tmp_path):
         float(np.abs(np.asarray(v)).max()) > 0
         for k, v in flat_l.items() if k[-1] == "b"
     ), "adapter b factors never moved"
+
+
+def test_in_training_validation_schedule(tmp_path):
+    """validation_steps > 0 + val_samples: fit logs val/* metrics on cadence."""
+    import dataclasses
+    import json
+
+    trainer, mcfg, vcfg, _ = _mk_trainer(tmp_path, "stage1", with_testr=False)
+    trainer.train_cfg = dataclasses.replace(
+        trainer.train_cfg, validation_steps=2, validation_num_inference_steps=2
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), text_len=TEXT_LEN, latent_size=8)
+    vae = AutoencoderKL(vcfg)
+    vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, IMG, IMG, 3), vcfg.dtype))
+
+    rng = np.random.default_rng(0)
+    val_samples = [{
+        "lq": rng.uniform(size=(32, 32, 3)).astype(np.float32),
+        "gt": rng.uniform(size=(32, 32, 3)).astype(np.float32),
+        "prompt": "text", "img_id": "v0",
+    }]
+    trainer.fit(
+        state, _batches(n=2), vparams, _prompt_fn, jax.random.PRNGKey(2),
+        num_steps=2, resume=False, val_samples=val_samples,
+    )
+    lines = [json.loads(l) for l in open(trainer.logger.path)]
+    assert any(any(k.startswith("val/") for k in l) for l in lines)
