@@ -36,22 +36,31 @@ def build_server(args):
         banner, build_mmdit, build_prompt_encoder, build_vae,
     )
     from dit4sr_tpu.config import (
-        SamplerConfig, SchedulerConfig, VAEConfig, mmdit_base, mmdit_tiny,
-        vae_tiny,
+        SamplerConfig, SchedulerConfig, VAEConfig, mmdit_base, mmdit_ocr2hq,
+        mmdit_ocr2hq2ocr, mmdit_tiny, vae_tiny,
     )
     from dit4sr_tpu.pipelines.sr_pipeline import SRPipeline
     from dit4sr_tpu.serving import SRServer
 
+    presets = {
+        "base": mmdit_base, "ocr2hq": mmdit_ocr2hq,
+        "ocr2hq2ocr": mmdit_ocr2hq2ocr,
+    }
     if args.smoke:
         vcfg = vae_tiny()
+        preset = presets[args.variant]()
         mcfg = mmdit_tiny(
             in_channels=vcfg.latent_channels,
             out_channels=vcfg.latent_channels,
+            streams=preset.streams,
+            ffn_couplings=preset.ffn_couplings,
         )
         args.size = min(args.size, 16)
         text_len = 16
     else:
-        mcfg = mmdit_base().with_(param_dtype=jnp.bfloat16, folded_control=True)
+        mcfg = presets[args.variant]().with_(
+            param_dtype=jnp.bfloat16, folded_control=True
+        )
         vcfg = VAEConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
         text_len = 333
 
@@ -146,6 +155,10 @@ def main():
                     help="tiny geometry (CPU-friendly integration testing)")
     ap.add_argument("--once", action="store_true",
                     help="warm up, print stats, exit (CI smoke)")
+    ap.add_argument("--variant", default="base",
+                    choices=("base", "ocr2hq", "ocr2hq2ocr"),
+                    help="MMDiT variant (the reference's dit4sr / "
+                         "dit4sr_ocrbranch_ocr2hq / ..._ocr2hq2ocr)")
     ap.add_argument("--distilled_ckpt", default=None,
                     help="orbax phase_<N> dir from scripts/distill.py — "
                          "serve the few-step student (set --steps N)")

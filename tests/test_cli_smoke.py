@@ -247,3 +247,17 @@ def test_serve_distilled_student_cli_smoke(tmp_path):
 
     stats = json.loads(res.stdout.strip().splitlines()[-1])
     assert stats["warm"]
+
+
+def test_serve_cli_smoke_ocr2hq2ocr_variant(tmp_path):
+    # the flagship 3-stream variant must build and serve
+    r = _run(
+        ["scripts/serve.py", "--smoke", "--once", "--port", "0",
+         "--steps", "2", "--variant", "ocr2hq2ocr"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    import json
+
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["warm"]
