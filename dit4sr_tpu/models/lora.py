@@ -32,7 +32,7 @@ SD3.5 transformer LoRA drops in. The PEFT `alpha / r` factor is folded into
 
 from __future__ import annotations
 
-from typing import Any, Callable, Mapping, Optional, Sequence, Tuple
+from typing import Callable, Mapping, Sequence
 
 import jax
 import jax.numpy as jnp

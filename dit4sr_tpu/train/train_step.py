@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from dit4sr_tpu.config import MMDiTConfig, SchedulerConfig, TrainConfig
+from dit4sr_tpu.config import SchedulerConfig, TrainConfig
 from dit4sr_tpu.models.mmdit import MMDiT
 from dit4sr_tpu.schedulers.flow_match import sample_logit_normal_sigmas
 

@@ -23,7 +23,6 @@ from typing import Any, Callable, Dict, Iterable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from dit4sr_tpu.config import (
     MMDiTConfig,
