@@ -50,13 +50,18 @@ class SRServer:
     """
 
     def __init__(self, pipe, params, encoder, lq_size: int = 128,
-                 upscale: int = 4, seed: int = 0):
+                 upscale: int = 4, seed: int = 0, tsm_sampler=None):
         self.pipe = pipe
         self.params = params
         self.encoder = encoder
         self.lq_size = lq_size
         self.upscale = upscale
-        self._fn = pipe.jit()
+        # TSM mode (reference pred_tsm protocol): an OCRGuidedSampler drives
+        # the denoise loop with per-step TESTR -> prompt rewriting. `params`
+        # must then include "testr". The jitted step inside the sampler is
+        # compiled once; only prompt re-encoding runs per step on the host.
+        self.tsm = tsm_sampler
+        self._fn = pipe.jit() if tsm_sampler is None else None
         self._rng = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()
         self._latencies = deque(maxlen=1024)
@@ -98,7 +103,10 @@ class SRServer:
         t0 = time.perf_counter()
         with self._lock:  # one request on the chip at a time (B=1 regime)
             self._rng, key = jax.random.split(self._rng)
-            sr = self._fn(self.params, key, lq_up, text, pooled)
+            if self.tsm is not None:
+                sr = self.tsm(self.params, key, lq_up, [prompt])
+            else:
+                sr = self._fn(self.params, key, lq_up, text, pooled)
             sr_np = np.asarray(sr[0], np.float32)  # device sync
         self._latencies.append(time.perf_counter() - t0)
         self._count += 1

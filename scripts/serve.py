@@ -54,12 +54,14 @@ def build_server(args):
             out_channels=vcfg.latent_channels,
             streams=preset.streams,
             ffn_couplings=preset.ffn_couplings,
+            feat_extract_layers=(0, 1) if args.tsm else (),
         )
         args.size = min(args.size, 16)
         text_len = 16
     else:
         mcfg = presets[args.variant]().with_(
-            param_dtype=jnp.bfloat16, folded_control=True
+            param_dtype=jnp.bfloat16, folded_control=True,
+            feat_extract_layers=tuple(range(24)) if args.tsm else (),
         )
         vcfg = VAEConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
         text_len = 333
@@ -136,9 +138,44 @@ def build_server(args):
             cache_interval=args.cache_interval, cache_span=span,
         ),
     )
+
+    params = {"mmdit": mparams, "vae": vparams}
+    tsm_sampler = None
+    if args.tsm:
+        # reference pred_tsm protocol: TESTR reads DiT features each step
+        # and rewrites the prompt (pipeline_dit4sr.py:1214-1446)
+        if args.cache_interval > 1:
+            raise SystemExit("--tsm does not compose with --cache_interval")
+        from dit4sr_tpu.bootstrap import build_testr
+        from dit4sr_tpu.config import TESTRConfig, testr_tiny
+        from dit4sr_tpu.pipelines.ocr_guided import OCRGuidedSampler
+        from dit4sr_tpu.train.ocr_loss import num_streams_extracted
+
+        latent_hw = args.size * 4 // 8
+        if args.smoke:
+            tcfg = testr_tiny(
+                num_dit_layers=len(mcfg.feat_extract_layers),
+                num_feature_levels=min(4, len(mcfg.feat_extract_layers)),
+                dit_dim=mcfg.inner_dim,
+            )
+        else:
+            tcfg = TESTRConfig()
+        c_feat = (
+            mcfg.inner_dim // (mcfg.patch_size ** 2)
+            * num_streams_extracted(mcfg)
+        )
+        spotter, tparams, t_ok = build_testr(
+            tcfg, jax.random.PRNGKey(2),
+            (len(mcfg.feat_extract_layers), 1, latent_hw, latent_hw, c_feat),
+            args.testr_ckpt, feat_hw=(latent_hw, latent_hw),
+        )
+        params["testr"] = tparams
+        tsm_sampler = OCRGuidedSampler(pipe, spotter, encoder)
+
     return SRServer(
-        pipe, {"mmdit": mparams, "vae": vparams}, encoder,
+        pipe, params, encoder,
         lq_size=args.size, upscale=4, seed=args.seed,
+        tsm_sampler=tsm_sampler,
     )
 
 
@@ -155,6 +192,12 @@ def main():
                     help="tiny geometry (CPU-friendly integration testing)")
     ap.add_argument("--once", action="store_true",
                     help="warm up, print stats, exit (CI smoke)")
+    ap.add_argument("--tsm", action="store_true",
+                    help="per-step TESTR OCR -> prompt rewriting (the "
+                         "reference's pred_tsm protocol); pair with "
+                         "--testr_ckpt for real spotting")
+    ap.add_argument("--testr_ckpt", default=None,
+                    help="TESTR .pt/.safetensors for --tsm")
     ap.add_argument("--variant", default="base",
                     choices=("base", "ocr2hq", "ocr2hq2ocr"),
                     help="MMDiT variant (the reference's dit4sr / "

@@ -261,3 +261,17 @@ def test_serve_cli_smoke_ocr2hq2ocr_variant(tmp_path):
 
     stats = json.loads(r.stdout.strip().splitlines()[-1])
     assert stats["warm"]
+
+
+def test_serve_cli_smoke_tsm(tmp_path):
+    # per-step OCR -> prompt rewriting (pred_tsm) must build, warm, serve
+    r = _run(
+        ["scripts/serve.py", "--smoke", "--once", "--port", "0",
+         "--steps", "2", "--tsm"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    import json
+
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["warm"]
