@@ -372,6 +372,9 @@ class TrainConfig:
     null_text_ratio: float = 0.1
     seed: int = 42
     checkpointing_steps: int = 500
+    # overlap checkpoint disk writes with training (orbax async save; the
+    # device->host copy stays synchronous so donation is safe)
+    async_checkpointing: bool = False
     # in-training validation cadence (reference train_dit4sr.py:519-748 runs
     # the full pipeline inside training); 0 = off, or pass val_samples to
     # Trainer.fit and set a step interval

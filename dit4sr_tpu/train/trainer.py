@@ -68,12 +68,19 @@ class MetricLogger:
 
 
 class Checkpointer:
-    """Orbax checkpointing of the FULL train state with step resume."""
+    """Orbax checkpointing of the FULL train state with step resume.
 
-    def __init__(self, ckpt_dir: str, keep: int = 3):
+    `async_save=True` overlaps the disk write with training: orbax copies
+    the state to host memory synchronously inside save() (so the caller may
+    immediately donate/overwrite the device buffers) and streams to disk in
+    the background; the next save/restore/exit waits for the previous write.
+    The reference blocks training for the full save_pretrained write."""
+
+    def __init__(self, ckpt_dir: str, keep: int = 3, async_save: bool = False):
         import orbax.checkpoint as ocp
 
         self.dir = os.path.abspath(ckpt_dir)
+        self.async_save = async_save
         os.makedirs(self.dir, exist_ok=True)
         self.mngr = ocp.CheckpointManager(
             self.dir,
@@ -84,6 +91,10 @@ class Checkpointer:
         import orbax.checkpoint as ocp
 
         self.mngr.save(step, args=ocp.args.StandardSave(state._asdict()))
+        if not self.async_save:
+            self.mngr.wait_until_finished()
+
+    def wait(self):
         self.mngr.wait_until_finished()
 
     def restore(
@@ -100,6 +111,7 @@ class Checkpointer:
         (at full geometry, two resident train states OOM a 16 GB chip)."""
         import orbax.checkpoint as ocp
 
+        self.wait()  # an in-flight async save must land before we look
         step = step if step is not None else self.mngr.latest_step()
         if step is None:
             return state_like
@@ -163,7 +175,10 @@ class Trainer:
         self.spotter = TextSpotter(testr_cfg) if testr_cfg is not None else None
 
         self.logger = MetricLogger(out_dir, use_wandb)
-        self.ckpt = Checkpointer(os.path.join(out_dir, "ckpt"))
+        self.ckpt = Checkpointer(
+            os.path.join(out_dir, "ckpt"),
+            async_save=train_cfg.async_checkpointing,
+        )
 
     # -- setup ---------------------------------------------------------------
 
@@ -443,4 +458,5 @@ class Trainer:
                 )
         for sig, h in prev_handlers:
             signal.signal(sig, h)
+        self.ckpt.wait()  # final async write must be durable before return
         return state

@@ -269,3 +269,30 @@ def test_in_training_validation_schedule(tmp_path):
     )
     lines = [json.loads(l) for l in open(trainer.logger.path)]
     assert any(any(k.startswith("val/") for k in l) for l in lines)
+
+
+def test_async_checkpointing_survives_immediate_mutation(tmp_path):
+    """async save: the write may land after the caller overwrites the state;
+    the restored checkpoint must hold the values at save time."""
+    import dataclasses
+
+    trainer, mcfg, vcfg, _ = _mk_trainer(tmp_path, "stage1", with_testr=False)
+    trainer.train_cfg = dataclasses.replace(
+        trainer.train_cfg, async_checkpointing=True
+    )
+    trainer.ckpt.async_save = True
+    state = trainer.init_state(jax.random.PRNGKey(0), text_len=TEXT_LEN, latent_size=8)
+    snap = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+
+    trainer.ckpt.save(1, state)
+    # immediately clobber the live state (what donation does between saves)
+    state = TrainState(
+        jax.tree.map(lambda x: x * 0 + 7.0, state.params),
+        state.opt_state, state.step, state.ema,
+    )
+    trainer.ckpt.wait()
+
+    state0 = trainer.init_state(jax.random.PRNGKey(4), text_len=TEXT_LEN, latent_size=8)
+    restored = trainer.ckpt.restore(state0)
+    for a, b in zip(jax.tree.leaves(snap), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
