@@ -62,6 +62,9 @@ class SRServer:
         # compiled once; only prompt re-encoding runs per step on the host.
         self.tsm = tsm_sampler
         self._fn = pipe.jit() if tsm_sampler is None else None
+        # CFG: guidance_scale > 1 in the pipe's SamplerConfig encodes this
+        # negative prompt once per request (reference default: null prompt)
+        self.negative_prompt = ""
         self._rng = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()
         self._latencies = deque(maxlen=1024)
@@ -105,6 +108,10 @@ class SRServer:
             self._rng, key = jax.random.split(self._rng)
             if self.tsm is not None:
                 sr = self.tsm(self.params, key, lq_up, [prompt])
+            elif self.pipe.sampler_cfg.guidance_scale > 1.0:
+                neg_t, neg_p = self.encoder([self.negative_prompt])
+                sr = self._fn(self.params, key, lq_up, text, pooled,
+                              neg_text_embeds=neg_t, neg_pooled_embeds=neg_p)
             else:
                 sr = self._fn(self.params, key, lq_up, text, pooled)
             sr_np = np.asarray(sr[0], np.float32)  # device sync

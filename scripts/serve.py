@@ -135,6 +135,7 @@ def build_server(args):
         mmdit, vae, mcfg, vcfg, SchedulerConfig(),
         SamplerConfig(
             num_inference_steps=args.steps, align_method="adain",
+            guidance_scale=args.guidance,
             cache_interval=args.cache_interval, cache_span=span,
         ),
     )
@@ -172,11 +173,13 @@ def build_server(args):
         params["testr"] = tparams
         tsm_sampler = OCRGuidedSampler(pipe, spotter, encoder)
 
-    return SRServer(
+    server = SRServer(
         pipe, params, encoder,
         lq_size=args.size, upscale=4, seed=args.seed,
         tsm_sampler=tsm_sampler,
     )
+    server.negative_prompt = args.negative_prompt
+    return server
 
 
 def main():
@@ -192,6 +195,10 @@ def main():
                     help="tiny geometry (CPU-friendly integration testing)")
     ap.add_argument("--once", action="store_true",
                     help="warm up, print stats, exit (CI smoke)")
+    ap.add_argument("--guidance", type=float, default=1.0,
+                    help="CFG scale (reference val protocol: 1.0 = off; its "
+                         "TSM configs also ship 8.0)")
+    ap.add_argument("--negative_prompt", default="")
     ap.add_argument("--tsm", action="store_true",
                     help="per-step TESTR OCR -> prompt rewriting (the "
                          "reference's pred_tsm protocol); pair with "

@@ -275,3 +275,17 @@ def test_serve_cli_smoke_tsm(tmp_path):
 
     stats = json.loads(r.stdout.strip().splitlines()[-1])
     assert stats["warm"]
+
+
+def test_serve_cli_smoke_cfg(tmp_path):
+    # CFG serving (guidance > 1 encodes a negative prompt per request)
+    r = _run(
+        ["scripts/serve.py", "--smoke", "--once", "--port", "0",
+         "--steps", "2", "--guidance", "2.0", "--negative_prompt", "blurry"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    import json
+
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["warm"]
