@@ -399,6 +399,11 @@ class Trainer:
         self._preempted = False
 
         def _on_signal(signum, frame):
+            if self._preempted:
+                # second signal while the graceful path is in flight (e.g. a
+                # wedged checkpoint write): restore default handling and die
+                signal.signal(signum, signal.SIG_DFL)
+                os.kill(os.getpid(), signum)
             self._preempted = True
 
         prev_handlers = []

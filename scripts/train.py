@@ -140,6 +140,11 @@ def main():
             gradient_accumulation_steps=1,
             checkpointing_steps=50,
             frozen_params_in_compute_dtype=True,
+            # rehearsal exists to prove the loop on hardware — include the
+            # per-module grad-norm path too. async_checkpointing stays OFF:
+            # measured on axon, the async device->host pull stalls (<1 MB
+            # written in 10 min at full geometry) — see CLAUDE.md
+            log_grad_norms=True,
         )
         num_steps = num_steps or 150
         # lean init: random-init in bf16 (half the fp32 peak); init_state
