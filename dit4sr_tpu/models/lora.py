@@ -99,15 +99,33 @@ def merge_lora(params, lora, scale: float = 1.0):
     flat_p = traverse_util.flatten_dict(params)
     flat_l = traverse_util.flatten_dict(lora)
     out = dict(flat_p)
+    applied, skipped = 0, []
     for k in flat_l:
         if k[-1] != "a":
             continue
         site = k[:-1]
         kk = site + ("kernel",)
         a, b = flat_l[site + ("a",)], flat_l[site + ("b",)]
-        kern = flat_p[kk]
+        kern = flat_p.get(kk)
+        if kern is None or kern.shape != (a.shape[0], b.shape[1]):
+            # checkpoint for a different geometry (e.g. an SD3.5-large LoRA
+            # against the medium config): skip the site rather than crash;
+            # refuse below only if NOTHING matched
+            skipped.append("/".join(site))
+            continue
         delta = (a.astype(jnp.float32) @ b.astype(jnp.float32)) * scale
         out[kk] = (kern.astype(jnp.float32) + delta).astype(kern.dtype)
+        applied += 1
+    if skipped:
+        if not applied:
+            raise ValueError(
+                f"no LoRA site matched the model (first mismatch: "
+                f"{skipped[0]}) — wrong base geometry?"
+            )
+        print(
+            f"merge_lora: applied {applied} sites, skipped "
+            f"{len(skipped)} absent/mismatched (e.g. {skipped[0]})"
+        )
     return traverse_util.unflatten_dict(out)
 
 

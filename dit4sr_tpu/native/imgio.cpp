@@ -132,6 +132,66 @@ void resize_bilinear(const uint8_t* src, int sw, int sh, int ow, int oh,
   }
 }
 
+// EXIF orientation (1..8) from the APP1 segment, or 1 when absent or
+// unparseable. cv2.imread applies non-identity orientations; this decoder
+// does not, so callers must fall back to cv2 for oriented files to keep
+// decode semantics identical (-4 from decode_resize_file).
+int exif_orientation(const uint8_t* d, size_t n) {
+  if (n < 4 || d[0] != 0xFF || d[1] != 0xD8) return 1;
+  size_t i = 2;
+  while (i + 4 <= n) {
+    if (d[i] != 0xFF) return 1;
+    const uint8_t marker = d[i + 1];
+    if (marker == 0xFF) {  // fill byte: the marker starts one later
+      i += 1;
+      continue;
+    }
+    if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7) ||
+        marker == 0x01) {
+      i += 2;
+      continue;
+    }
+    if (marker == 0xDA || marker == 0xD9) return 1;  // image data: no APP1
+    const size_t len = (static_cast<size_t>(d[i + 2]) << 8) | d[i + 3];
+    if (len < 2 || i + 2 + len > n) return 1;
+    if (marker == 0xE1 && len >= 16 &&
+        std::memcmp(d + i + 4, "Exif\0\0", 6) == 0) {
+      const uint8_t* t = d + i + 10;  // TIFF header
+      const size_t tn = len - 8;
+      if (tn < 8) return 1;
+      bool le;
+      if (t[0] == 'I' && t[1] == 'I') le = true;
+      else if (t[0] == 'M' && t[1] == 'M') le = false;
+      else return 1;
+      auto rd16 = [&](size_t off) -> uint32_t {
+        return le ? (t[off] | (t[off + 1] << 8))
+                  : ((t[off] << 8) | t[off + 1]);
+      };
+      auto rd32 = [&](size_t off) -> uint32_t {
+        return le ? (t[off] | (t[off + 1] << 8) | (t[off + 2] << 16) |
+                     (static_cast<uint32_t>(t[off + 3]) << 24))
+                  : ((static_cast<uint32_t>(t[off]) << 24) |
+                     (t[off + 1] << 16) | (t[off + 2] << 8) | t[off + 3]);
+      };
+      if (rd16(2) != 42) return 1;
+      const uint32_t ifd = rd32(4);
+      if (ifd + 2 > tn) return 1;
+      const uint32_t cnt = rd16(ifd);
+      for (uint32_t k = 0; k < cnt; ++k) {
+        const size_t e = ifd + 2 + 12 * k;
+        if (e + 12 > tn) return 1;
+        if (rd16(e) == 0x0112) {
+          const uint32_t v = rd16(e + 8);
+          return (v >= 1 && v <= 8) ? static_cast<int>(v) : 1;
+        }
+      }
+      return 1;
+    }
+    i += 2 + len;
+  }
+  return 1;
+}
+
 int read_file(const char* path, std::vector<uint8_t>* buf) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -10;
@@ -152,6 +212,8 @@ int decode_resize_file(const std::string& path, int oh, int ow, float* out) {
   std::vector<uint8_t> raw;
   int rc = read_file(path.c_str(), &raw);
   if (rc != 0) return rc;
+  // cv2 auto-applies EXIF orientation; we don't — hand oriented files back
+  if (exif_orientation(raw.data(), raw.size()) != 1) return -4;
   std::vector<uint8_t> rgb;
   int w = 0, h = 0;
   rc = decode_rgb8(raw.data(), raw.size(), &rgb, &w, &h);

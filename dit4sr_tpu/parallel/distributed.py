@@ -40,12 +40,16 @@ def maybe_initialize_multihost() -> bool:
     import jax
 
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if addr:
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if addr and nproc is not None and pid is not None:
         jax.distributed.initialize(
             coordinator_address=addr,
-            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-            process_id=int(os.environ["JAX_PROCESS_ID"]),
+            num_processes=int(nproc),
+            process_id=int(pid),
         )
     else:
-        jax.distributed.initialize()  # TPU pod autodetection
+        # TPU pod metadata, or a cluster env jax's own detectors understand
+        # (an address without NUM_PROCESSES/PROCESS_ID falls through here)
+        jax.distributed.initialize()
     return True

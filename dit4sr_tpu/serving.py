@@ -62,9 +62,12 @@ class SRServer:
         # compiled once; only prompt re-encoding runs per step on the host.
         self.tsm = tsm_sampler
         self._fn = pipe.jit() if tsm_sampler is None else None
-        # CFG: guidance_scale > 1 in the pipe's SamplerConfig encodes this
-        # negative prompt once per request (reference default: null prompt)
+        # CFG: guidance_scale > 1 in the pipe's SamplerConfig combines with
+        # this negative prompt (reference default: null prompt); its
+        # embeddings are computed once and cached — the prompt is fixed
+        # per server instance
         self.negative_prompt = ""
+        self._neg_cache = None
         self._rng = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()
         self._latencies = deque(maxlen=1024)
@@ -109,7 +112,9 @@ class SRServer:
             if self.tsm is not None:
                 sr = self.tsm(self.params, key, lq_up, [prompt])
             elif self.pipe.sampler_cfg.guidance_scale > 1.0:
-                neg_t, neg_p = self.encoder([self.negative_prompt])
+                if self._neg_cache is None:
+                    self._neg_cache = self.encoder([self.negative_prompt])
+                neg_t, neg_p = self._neg_cache
                 sr = self._fn(self.params, key, lq_up, text, pooled,
                               neg_text_embeds=neg_t, neg_pooled_embeds=neg_p)
             else:

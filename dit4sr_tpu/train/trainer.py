@@ -404,6 +404,7 @@ class Trainer:
                 # wedged checkpoint write): restore default handling and die
                 signal.signal(signum, signal.SIG_DFL)
                 os.kill(os.getpid(), signum)
+                return
             self._preempted = True
 
         prev_handlers = []
@@ -417,7 +418,11 @@ class Trainer:
         for batch in batches:
             step = int(state.step)
             if self._preempted:
-                self.ckpt.save(step, state)
+                # step may already be on disk (resume at a save boundary, or
+                # the signal landed right after a periodic save) — orbax
+                # raises StepAlreadyExistsError on a duplicate save
+                if self.ckpt.latest_step() != step:
+                    self.ckpt.save(step, state)
                 self.logger.log(step, {"preempted": 1.0})
                 print(f"preempted: checkpointed step {step}, exiting cleanly")
                 break

@@ -185,13 +185,16 @@ def _shard_tile_batch(arrs, shard_axis: str, shard_size: int):
 
     n = arrs[0].shape[0]
     pad = (-n) % max(shard_size, 1)
+    # cyclic index so padding works even when pad > n (fewer tiles than
+    # chips): rows repeat as needed to reach the multiple
+    idx = jnp.arange(n + pad) % n
     out = []
     for a in arrs:
         if a is None:
             out.append(None)
             continue
         if pad:
-            a = jnp.concatenate([a, a[:pad]], axis=0)
+            a = a[idx]
         out.append(jax.lax.with_sharding_constraint(a, P(shard_axis)))
     return out, n
 

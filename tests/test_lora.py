@@ -181,3 +181,48 @@ def test_lora_train_step_learns_and_freezes_base():
         for k, v in flat_l.items()
         if k[-1] == "b"
     )
+
+
+def test_merge_lora_skips_mismatched_sites():
+    """A LoRA for a different geometry must merge what matches and skip the
+    rest (crash only when nothing matches)."""
+    import pytest
+
+    cfg, _, params = _tiny()
+    D = cfg.inner_dim
+    rng = np.random.default_rng(0)
+    sd = {
+        # matches the tiny model
+        "transformer.transformer_blocks.1.attn.to_q.lora_A.weight":
+            rng.normal(size=(2, D)).astype(np.float32),
+        "transformer.transformer_blocks.1.attn.to_q.lora_B.weight":
+            rng.normal(size=(D, 2)).astype(np.float32),
+        # absent block index (larger model)
+        "transformer.transformer_blocks.37.attn.to_q.lora_A.weight":
+            rng.normal(size=(2, D)).astype(np.float32),
+        "transformer.transformer_blocks.37.attn.to_q.lora_B.weight":
+            rng.normal(size=(D, 2)).astype(np.float32),
+        # wrong width
+        "transformer.transformer_blocks.0.attn.to_k.lora_A.weight":
+            rng.normal(size=(2, 2 * D)).astype(np.float32),
+        "transformer.transformer_blocks.0.attn.to_k.lora_B.weight":
+            rng.normal(size=(2 * D, 2)).astype(np.float32),
+    }
+    merged = merge_lora(params, convert_sd3_lora(sd))
+    changed = np.asarray(merged["params"]["blocks_1"]["attn"]["to_q"]["kernel"])
+    base = np.asarray(params["params"]["blocks_1"]["attn"]["to_q"]["kernel"])
+    assert not np.array_equal(changed, base)
+    same = np.asarray(merged["params"]["blocks_0"]["attn"]["to_k"]["kernel"])
+    np.testing.assert_array_equal(
+        same, np.asarray(params["params"]["blocks_0"]["attn"]["to_k"]["kernel"])
+    )
+
+    # nothing matches -> loud error
+    bad = {
+        "transformer.transformer_blocks.99.ff.net.2.lora_A.weight":
+            rng.normal(size=(2, D)).astype(np.float32),
+        "transformer.transformer_blocks.99.ff.net.2.lora_B.weight":
+            rng.normal(size=(D, 2)).astype(np.float32),
+    }
+    with pytest.raises(ValueError, match="no LoRA site matched"):
+        merge_lora(params, convert_sd3_lora(bad))

@@ -151,3 +151,47 @@ def test_dataset_uses_native_path(native_lib, tmp_path, monkeypatch):
         assert bf["img_id"] == bs["img_id"]
         assert np.abs(bf["gt"] - bs["gt"]).max() < 6.0 / 255.0
         np.testing.assert_allclose(bf["kernel1"], bs["kernel1"])
+
+
+def test_exif_oriented_jpeg_falls_back_to_cv2(native_lib, tmp_path):
+    """cv2.imread auto-applies EXIF orientation; the native decoder does not,
+    so it must refuse oriented files (rc -4) and let callers fall back."""
+    plain = str(tmp_path / "plain.jpg")
+    _write_jpeg(plain, 40, 64, seed=3)
+    raw = open(plain, "rb").read()
+
+    # APP1 Exif segment with Orientation=6 (rotate 90 CW), little-endian TIFF
+    tiff = (
+        b"II" + b"\x2a\x00" + b"\x08\x00\x00\x00"          # header, IFD @ 8
+        + b"\x01\x00"                                        # 1 entry
+        + b"\x12\x01" + b"\x03\x00" + b"\x01\x00\x00\x00"   # tag 0x0112 SHORT x1
+        + b"\x06\x00" + b"\x00\x00"                          # value 6
+        + b"\x00\x00\x00\x00"                                # next IFD
+    )
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+    oriented = str(tmp_path / "oriented.jpg")
+    open(oriented, "wb").write(raw[:2] + app1 + raw[2:])
+
+    # un-oriented file still decodes natively; oriented one is refused
+    assert native_lib.decode_image(plain, (32, 32)) is not None
+    assert native_lib.decode_image(oriented, (32, 32)) is None
+
+    # cv2 applies the rotation: the fallback path must deliver it
+    ref = cv2.imread(oriented, cv2.IMREAD_COLOR)
+    assert ref.shape[:2] == (64, 40)  # 40x64 rotated 90
+
+    from dit4sr_tpu.data.satext import SATextDataset
+
+    ds = SATextDataset(
+        [{"img_path": oriented, "text": ["hi"],
+          "boxes": np.zeros((1, 4), np.float32),
+          "polygons": np.zeros((1, 16, 2), np.float32)}],
+        crop_size=32,
+    )
+    got = ds._read_image(oriented)
+    want = cv2.resize(
+        cv2.cvtColor(ref, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0,
+        (32, 32),
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)

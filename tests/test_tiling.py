@@ -144,3 +144,21 @@ def test_tiled_sampler_sharded_tiles_match_unsharded():
             jax.device_put(text, rep), jax.device_put(pooled, rep),
         )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2)
+
+
+def test_shard_tile_batch_pads_beyond_n():
+    """pad > n (fewer tiles than chips): cyclic padding must still reach a
+    multiple of the axis size."""
+    from dit4sr_tpu.utils.tiling import _shard_tile_batch
+    from dit4sr_tpu.config import MeshConfig
+    from dit4sr_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(MeshConfig(data=8), jax.devices()[:8])
+    a = jnp.arange(3 * 2, dtype=jnp.float32).reshape(3, 2)
+    with mesh:
+        (out, none), n = _shard_tile_batch((a, None), "data", 8)
+    assert none is None and n == 3
+    assert out.shape[0] == 8
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(a)[np.arange(8) % 3]
+    )

@@ -14,11 +14,13 @@ import jax, jax.numpy as jnp
 M = 4429
 
 
-def _time(fn, *args):
-    fn(*args)
-    r = fn(*args); float(jnp.asarray(r, jnp.float32).sum())
+def _time(fn, x, *args):
+    # vary the activation input per call: identical (executable, inputs)
+    # pairs can be served from the axon relay cache (CLAUDE.md)
+    fn(x, *args)
+    r = fn(x * 1.0009765625, *args); float(jnp.asarray(r, jnp.float32).sum())
     t0 = time.perf_counter()
-    r = fn(*args); float(jnp.asarray(r, jnp.float32).sum())
+    r = fn(x * 0.9990234375, *args); float(jnp.asarray(r, jnp.float32).sum())
     return time.perf_counter() - t0
 
 

@@ -32,9 +32,13 @@ def bench_int8(n, iters):
         return x
 
     chain(a, b).block_until_ready()
-    r = chain(a, b); float(r.astype(jnp.float32).sum())
+    # vary inputs between calls: identical (executable, inputs) pairs can be
+    # served from the axon relay cache (CLAUDE.md)
+    a2 = jnp.roll(a, 1, axis=0)
+    r = chain(a2, b); float(r.astype(jnp.float32).sum())
+    a3 = jnp.roll(a, 2, axis=0)
     t0 = time.perf_counter()
-    r = chain(a, b); float(r.astype(jnp.float32).sum())
+    r = chain(a3, b); float(r.astype(jnp.float32).sum())
     dt = time.perf_counter() - t0
     fl = 2 * n**3 * iters
     print(f"int8 n={n} iters={iters}: {dt*1e3:.1f} ms  {fl/dt/1e12:.1f} TOP/s")
@@ -52,9 +56,11 @@ def bench_bf16_ref(n, iters):
         return x
 
     chain(a, b).block_until_ready()
-    r = chain(a, b); float(r.astype(jnp.float32).sum())
+    a2 = jnp.roll(a, 1, axis=0)
+    r = chain(a2, b); float(r.astype(jnp.float32).sum())
+    a3 = jnp.roll(a, 2, axis=0)
     t0 = time.perf_counter()
-    r = chain(a, b); float(r.astype(jnp.float32).sum())
+    r = chain(a3, b); float(r.astype(jnp.float32).sum())
     dt = time.perf_counter() - t0
     fl = 2 * n**3 * iters
     print(f"bf16 n={n} iters={iters}: {dt*1e3:.1f} ms  {fl/dt/1e12:.1f} TFLOP/s")
