@@ -372,9 +372,13 @@ class TrainConfig:
     null_text_ratio: float = 0.1
     seed: int = 42
     checkpointing_steps: int = 500
-    # overlap checkpoint disk writes with training (orbax async save; the
-    # device->host copy stays synchronous so donation is safe)
+    # overlap checkpoint disk writes with training (the device->host copy
+    # stays synchronous in both modes so donation is safe)
     async_checkpointing: bool = False
+    # "host_staged": per-leaf foreground device_get + background disk-writer
+    # thread — works on the axon TPU runtime, where "orbax" (orbax's own
+    # async save) stalls in its background device->host pull (CLAUDE.md)
+    async_checkpoint_mode: str = "host_staged"
     # in-training validation cadence (reference train_dit4sr.py:519-748 runs
     # the full pipeline inside training); 0 = off, or pass val_samples to
     # Trainer.fit and set a step interval

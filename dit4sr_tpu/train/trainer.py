@@ -70,31 +70,85 @@ class MetricLogger:
 class Checkpointer:
     """Orbax checkpointing of the FULL train state with step resume.
 
-    `async_save=True` overlaps the disk write with training: orbax copies
-    the state to host memory synchronously inside save() (so the caller may
-    immediately donate/overwrite the device buffers) and streams to disk in
-    the background; the next save/restore/exit waits for the previous write.
+    `async_save=True` overlaps the disk write with training. Two modes:
+
+      * "orbax": orbax's own async save — it copies the state to host memory
+        inside save() (so the caller may immediately donate/overwrite the
+        device buffers) and streams to disk in the background. On the axon
+        TPU runtime this STALLS at full geometry: orbax's background
+        device->host pull moved <1 MB in 10 min (CLAUDE.md gotcha).
+      * "host_staged" (default): save() pulls the state to host numpy
+        LEAF BY LEAF in the foreground — the same device->host copy a sync
+        save performs, which axon handles fine — then hands the numpy tree
+        to a single background writer thread that does the (pure-disk) orbax
+        save. Donation is safe the moment save() returns; only the disk
+        write overlaps training. At most one staged state is held (a second
+        save joins the previous write first), bounding host memory.
+
     The reference blocks training for the full save_pretrained write."""
 
-    def __init__(self, ckpt_dir: str, keep: int = 3, async_save: bool = False):
+    def __init__(
+        self,
+        ckpt_dir: str,
+        keep: int = 3,
+        async_save: bool = False,
+        async_mode: str = "host_staged",
+    ):
         import orbax.checkpoint as ocp
 
         self.dir = os.path.abspath(ckpt_dir)
         self.async_save = async_save
+        if async_mode not in ("host_staged", "orbax"):
+            raise ValueError(f"unknown async_mode {async_mode!r}")
+        self.async_mode = async_mode
         os.makedirs(self.dir, exist_ok=True)
         self.mngr = ocp.CheckpointManager(
             self.dir,
             options=ocp.CheckpointManagerOptions(max_to_keep=keep),
         )
+        self._writer = None        # in-flight host_staged writer thread
+        self._writer_err = None    # exception from the last writer, if any
+        self._pending_step: Optional[int] = None
 
     def save(self, step: int, state: TrainState):
         import orbax.checkpoint as ocp
+
+        if self.async_save and self.async_mode == "host_staged":
+            import threading
+
+            self._join_writer()  # one staged state at a time
+            # foreground chunked pull: per-leaf device_get keeps peak host
+            # staging at one leaf beyond the accumulated tree and avoids
+            # orbax's async transfer machinery entirely
+            host = jax.tree.map(lambda x: np.asarray(x), state._asdict())
+
+            def _write():
+                try:
+                    self.mngr.save(step, args=ocp.args.StandardSave(host))
+                    self.mngr.wait_until_finished()
+                except BaseException as e:  # surfaced on next save/wait
+                    self._writer_err = e
+
+            self._pending_step = step
+            self._writer = threading.Thread(target=_write, daemon=True)
+            self._writer.start()
+            return
 
         self.mngr.save(step, args=ocp.args.StandardSave(state._asdict()))
         if not self.async_save:
             self.mngr.wait_until_finished()
 
+    def _join_writer(self):
+        if self._writer is not None:
+            self._writer.join()
+            self._writer = None
+            self._pending_step = None
+        if self._writer_err is not None:
+            err, self._writer_err = self._writer_err, None
+            raise RuntimeError("background checkpoint write failed") from err
+
     def wait(self):
+        self._join_writer()
         self.mngr.wait_until_finished()
 
     def restore(
@@ -146,7 +200,12 @@ class Checkpointer:
         return TrainState(**restored)
 
     def latest_step(self) -> Optional[int]:
-        return self.mngr.latest_step()
+        """Latest step on disk OR in flight (a staged write counts: saving
+        the same step again would hit orbax's StepAlreadyExistsError)."""
+        done = self.mngr.latest_step()
+        if self._pending_step is not None:
+            return max(done, self._pending_step) if done is not None else self._pending_step
+        return done
 
 
 class Trainer:
@@ -178,6 +237,7 @@ class Trainer:
         self.ckpt = Checkpointer(
             os.path.join(out_dir, "ckpt"),
             async_save=train_cfg.async_checkpointing,
+            async_mode=train_cfg.async_checkpoint_mode,
         )
 
     # -- setup ---------------------------------------------------------------

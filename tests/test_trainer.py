@@ -271,16 +271,20 @@ def test_in_training_validation_schedule(tmp_path):
     assert any(any(k.startswith("val/") for k in l) for l in lines)
 
 
-def test_async_checkpointing_survives_immediate_mutation(tmp_path):
+@pytest.mark.parametrize("mode", ["host_staged", "orbax"])
+def test_async_checkpointing_survives_immediate_mutation(tmp_path, mode):
     """async save: the write may land after the caller overwrites the state;
-    the restored checkpoint must hold the values at save time."""
+    the restored checkpoint must hold the values at save time. host_staged
+    is the axon-safe mode (foreground device_get + background disk write);
+    orbax is orbax's own async save (stalls on axon, fine on CPU)."""
     import dataclasses
 
     trainer, mcfg, vcfg, _ = _mk_trainer(tmp_path, "stage1", with_testr=False)
     trainer.train_cfg = dataclasses.replace(
-        trainer.train_cfg, async_checkpointing=True
+        trainer.train_cfg, async_checkpointing=True, async_checkpoint_mode=mode
     )
     trainer.ckpt.async_save = True
+    trainer.ckpt.async_mode = mode
     state = trainer.init_state(jax.random.PRNGKey(0), text_len=TEXT_LEN, latent_size=8)
     snap = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
 
@@ -296,3 +300,24 @@ def test_async_checkpointing_survives_immediate_mutation(tmp_path):
     restored = trainer.ckpt.restore(state0)
     for a, b in zip(jax.tree.leaves(snap), jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_host_staged_pending_step_visible(tmp_path):
+    """latest_step() must report an in-flight host_staged write — the
+    preemption path uses it to guard against a duplicate save of the same
+    step (orbax raises StepAlreadyExistsError on one)."""
+    from dit4sr_tpu.train.trainer import Checkpointer
+
+    trainer, *_ = _mk_trainer(tmp_path, "stage1", with_testr=False)
+    state = trainer.init_state(jax.random.PRNGKey(0), text_len=TEXT_LEN, latent_size=8)
+    ckpt = Checkpointer(str(tmp_path / "ck2"), async_save=True,
+                        async_mode="host_staged")
+    ckpt.save(3, state)
+    assert ckpt.latest_step() == 3  # whether in flight or already landed
+    ckpt.wait()
+    assert ckpt.latest_step() == 3
+    # back-to-back saves serialize on the single writer slot
+    ckpt.save(4, state)
+    ckpt.save(5, state)
+    ckpt.wait()
+    assert ckpt.latest_step() == 5
