@@ -167,6 +167,14 @@ def _bwd_kernel(
 def _bwd(block_q, valid_len, res, do):
     q, k, v, o = res
     G, N, D = q.shape
+    # The backward tile carries BOTH the fp32 softmax (BQ, N) and the fp32
+    # dP (BQ, N) plus the (N, D) fp32 dk/dv scratch — at block_q=512/N=2560
+    # that is 16.06 MB, 60 KB OVER the 16 MB scoped-VMEM stack (measured:
+    # axon AOT compile of the B=2 train step fails). The forward's swept
+    # optimum (512) is therefore too big here; halve down to <=256. Halving
+    # preserves divisibility: the wrapper pads N to a block_q multiple.
+    while block_q > 256:
+        block_q //= 2
     scale = 1.0 / (D ** 0.5)
     kernel = functools.partial(_bwd_kernel, scale=scale, valid_len=valid_len)
     dq, dk, dv = pl.pallas_call(

@@ -515,7 +515,13 @@ class Trainer:
                 t_prev = (step, now)
                 self.logger.log(step, metrics)
             if (step + 1) % self.train_cfg.checkpointing_steps == 0:
+                t0 = time.perf_counter()
                 self.ckpt.save(step + 1, state)
+                # blocking cost seen by the train loop: full save when sync,
+                # device->host pull only when async (disk write overlaps)
+                self.logger.log(
+                    step + 1, {"ckpt_save_s": time.perf_counter() - t0}
+                )
             if (
                 val_samples
                 and self.train_cfg.validation_steps > 0

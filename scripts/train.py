@@ -54,6 +54,10 @@ def main():
                     help="FULL geometry on synthetic data (B=2, frozen "
                          "params stored bf16): proves the training loop + "
                          "checkpoint/resume on real hardware without assets")
+    ap.add_argument("--async_ckpt", action="store_true",
+                    help="overlap checkpoint disk writes with training "
+                         "(host_staged mode: foreground device->host pull + "
+                         "background disk writer — the axon-safe async path)")
     args = ap.parse_args()
 
     from dit4sr_tpu.bootstrap import (
@@ -141,9 +145,9 @@ def main():
             checkpointing_steps=50,
             frozen_params_in_compute_dtype=True,
             # rehearsal exists to prove the loop on hardware — include the
-            # per-module grad-norm path too. async_checkpointing stays OFF:
-            # measured on axon, the async device->host pull stalls (<1 MB
-            # written in 10 min at full geometry) — see CLAUDE.md
+            # per-module grad-norm path too. (--async_ckpt opts into the
+            # host_staged async save; orbax's OWN async mode stalls on axon —
+            # <1 MB written in 10 min at full geometry, see CLAUDE.md)
             log_grad_norms=True,
         )
         num_steps = num_steps or 150
@@ -159,6 +163,15 @@ def main():
             train_cfg,
             lora_rank=args.lora_rank,
             finetune_layer_names=("mmdit_lora",),
+        )
+
+    if args.async_ckpt:
+        import dataclasses
+
+        train_cfg = dataclasses.replace(
+            train_cfg,
+            async_checkpointing=True,
+            async_checkpoint_mode="host_staged",
         )
 
     out_dir = args.out_dir or os.path.join(
