@@ -321,3 +321,60 @@ def test_host_staged_pending_step_visible(tmp_path):
     ckpt.save(5, state)
     ckpt.wait()
     assert ckpt.latest_step() == 5
+
+
+def test_partition_aware_checkpointing(tmp_path):
+    """checkpoint_frozen_once: the frozen partition is written once to
+    <ckpt>/frozen; per-step items hold only the trainable tree. Restore
+    from a DIFFERENT random init must recombine to the values at save time
+    for BOTH partitions (the frozen part comes from disk, not the template)."""
+    import dataclasses
+    import os
+
+    from flax import traverse_util
+
+    trainer, mcfg, vcfg, _ = _mk_trainer(tmp_path, "stage1", with_testr=False)
+    trainer.train_cfg = dataclasses.replace(
+        trainer.train_cfg, finetune_layer_names=("to_q",)  # freeze most
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), text_len=TEXT_LEN, latent_size=8)
+    assert trainer.ckpt._mask is not None  # split mode active
+    snap = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+
+    trainer.ckpt.save(2, state)
+    trainer.ckpt.wait()
+    frozen_dir = os.path.join(str(tmp_path), "ckpt", "frozen")
+    assert os.path.isdir(frozen_dir)
+
+    # a second save must NOT rewrite the frozen partition
+    mtime = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(frozen_dir) for f in fs
+    )
+    trainer.ckpt.save(4, state)
+    trainer.ckpt.wait()
+    mtime2 = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(frozen_dir) for f in fs
+    )
+    assert mtime2 == mtime
+
+    # restore from a fresh DIFFERENT init: every leaf (frozen included)
+    # must match the saved values, not the new random init
+    state0 = trainer.init_state(jax.random.PRNGKey(9), text_len=TEXT_LEN, latent_size=8)
+    restored = trainer.ckpt.restore(state0)
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree.leaves(snap), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+    # the per-step item on disk must be smaller than the frozen partition
+    # (it holds only the trainable slice + opt state for that slice)
+    def tree_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d) for f in fs
+        )
+    flat_m = traverse_util.flatten_dict(trainer.mask)
+    assert not all(flat_m.values())  # sanity: something IS frozen
+    step_dir = os.path.join(str(tmp_path), "ckpt", "4")
+    assert tree_bytes(step_dir) < tree_bytes(frozen_dir)
