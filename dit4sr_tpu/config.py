@@ -375,9 +375,17 @@ class TrainConfig:
     # overlap checkpoint disk writes with training (the device->host copy
     # stays synchronous in both modes so donation is safe)
     async_checkpointing: bool = False
-    # "host_staged": per-leaf foreground device_get + background disk-writer
+    # "host_staged": foreground device->host pull + background disk-writer
     # thread — works on the axon TPU runtime, where "orbax" (orbax's own
-    # async save) stalls in its background device->host pull (CLAUDE.md)
+    # async save) stalls in its background device->host pull (CLAUDE.md).
+    # "device_staged": on-device snapshot (milliseconds) + background pull
+    # AND write — the ~7 min/save pull at stage-3 geometry fully overlaps
+    # training, at the cost of transient HBM for the snapshot (trainable
+    # partition + opt state when checkpoint_frozen_once is on). MEASURED
+    # LIMIT: at full stage-3 geometry (2.64B params, 16 GB v5e) the ~4.8 GB
+    # snapshot does not fit next to the train step's working set — the step
+    # after the first save dies RESOURCE_EXHAUSTED. Use host_staged there;
+    # device_staged needs snapshot-sized HBM headroom.
     async_checkpoint_mode: str = "host_staged"
     # partition-aware saves: write the frozen partition once, then only the
     # trainable params + optimizer state per step. Halves the device->host

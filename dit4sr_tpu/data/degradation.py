@@ -98,6 +98,46 @@ def sample_params(rng: np.random.Generator, batch: int, kernels) -> DegradationP
     )
 
 
+def mild_params(rng: np.random.Generator, batch: int, kernels=None) -> DegradationParams:
+    """A deterministic MILD draw for the self-contained quality probe
+    (scripts/quality_probe.py): delta kernels, no second blur, q95 JPEG,
+    light gaussian noise — the dominant degradation left is the intrinsic
+    x4 down-up of stage 2 (`realesrgan_degradation` lands at H/sf). Small
+    models can learn to invert this in minutes, giving an end-to-end
+    quality signal without weight assets. Same (rng, batch, kernels)
+    signature as `sample_params` so Trainer.fit can take either."""
+    del rng, kernels
+    delta = np.zeros((21, 21), np.float32)
+    delta[10, 10] = 1.0
+    k = jnp.broadcast_to(jnp.asarray(delta), (batch, 21, 21))
+
+    def full(v):
+        return jnp.full((batch,), v, jnp.float32)
+
+    return DegradationParams(
+        kernel1=k,
+        kernel2=k,
+        sinc_kernel=k,
+        resize1_idx=jnp.int32(RESIZE1_SCALES.index(1.0)),
+        resize1_mode=jnp.int32(2),
+        use_gaussian1=jnp.bool_(True),
+        noise_sigma1=full(2.0),
+        poisson_scale1=full(0.05),
+        gray_noise1=jnp.zeros((batch,), bool),
+        jpeg_q1=full(95.0),
+        use_blur2=jnp.bool_(False),
+        resize2_idx=jnp.int32(RESIZE2_SCALES.index(1.0)),
+        resize2_mode=jnp.int32(2),
+        use_gaussian2=jnp.bool_(True),
+        noise_sigma2=full(1.0),
+        poisson_scale2=full(0.05),
+        gray_noise2=jnp.zeros((batch,), bool),
+        jpeg_q2=full(95.0),
+        final_mode=jnp.int32(2),
+        jpeg_first=jnp.bool_(False),
+    )
+
+
 # ---------------------------------------------------------------------------
 # primitive ops
 # ---------------------------------------------------------------------------

@@ -1,0 +1,97 @@
+"""Synthetic text-scene generator for the self-contained quality probe.
+
+DiT4SR's domain is scene-text super-resolution; without the reference's
+weight assets (SAMText images + SD3.5 checkpoints) we still want an
+END-TO-END quality signal: train on images whose statistics the model can
+actually learn — smooth backgrounds with crisp rendered words — then check
+that the sampled SR output beats the degraded input on PSNR/SSIM
+(scripts/quality_probe.py). This answers the round-1 review's "quality is
+measured nowhere on real data" as far as possible with zero assets.
+
+The renderer intentionally mirrors what `pho_realesrgan_dataset` delivers
+(reference basicsr/data/pho_realesrgan_dataset.py:199-277): RGB float images
+in [0, 1] with several text instances, plus the word list for prompts.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+WORDS = [
+    "OPEN", "SALE", "EXIT", "CAFE", "STOP", "taxi", "Hotel", "parking",
+    "MARKET", "Pizza", "BOOKS", "music", "NORTH", "Bakery", "STUDIO", "gym",
+]
+
+
+def _background(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Smooth random gradient + low-frequency blobs (natural-ish, easy to
+    model; the signal the probe tests is text-edge recovery)."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    c0 = rng.uniform(0.2, 0.9, 3).astype(np.float32)
+    c1 = rng.uniform(0.2, 0.9, 3).astype(np.float32)
+    ang = rng.uniform(0, 2 * np.pi)
+    t = (np.cos(ang) * xx + np.sin(ang) * yy)[..., None]
+    t = (t - t.min()) / (t.max() - t.min() + 1e-6)
+    img = c0 * (1 - t) + c1 * t
+    for _ in range(int(rng.integers(1, 4))):
+        cy, cx = rng.uniform(0, size, 2)
+        r = rng.uniform(size / 6, size / 2)
+        blob = np.exp(-(((yy * size - cy) ** 2 + (xx * size - cx) ** 2) / (2 * r * r)))
+        img += blob[..., None] * rng.uniform(-0.25, 0.25, 3).astype(np.float32)
+    return np.clip(img, 0.0, 1.0)
+
+
+def render_scene(
+    rng: np.random.Generator, size: int = 256, num_words: int = 3
+) -> Tuple[np.ndarray, List[str]]:
+    """One (size, size, 3) float32 [0,1] scene + the words placed in it."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    img = Image.fromarray((_background(rng, size) * 255).astype(np.uint8))
+    draw = ImageDraw.Draw(img)
+    font = ImageFont.load_default()
+    words: List[str] = []
+    for _ in range(num_words):
+        word = WORDS[int(rng.integers(len(WORDS)))]
+        words.append(word)
+        # render small then paste scaled: load_default has one size, and a
+        # resized paste gives the scale variation a real dataset would have
+        scale = float(rng.uniform(1.5, 4.0))
+        pad = 2
+        bbox = font.getbbox(word)
+        w, h = bbox[2] - bbox[0] + 2 * pad, bbox[3] - bbox[1] + 2 * pad
+        tile = Image.new("RGBA", (w, h), (0, 0, 0, 0))
+        color = tuple(int(v) for v in rng.integers(0, 256, 3)) + (255,)
+        ImageDraw.Draw(tile).text((pad - bbox[0], pad - bbox[1]), word,
+                                  fill=color, font=font)
+        tw, th = max(int(w * scale), 1), max(int(h * scale), 1)
+        tile = tile.resize((tw, th), Image.BICUBIC)
+        if rng.random() < 0.3:
+            tile = tile.rotate(float(rng.uniform(-15, 15)), expand=True)
+        x = int(rng.integers(0, max(size - tile.width, 1)))
+        y = int(rng.integers(0, max(size - tile.height, 1)))
+        img.paste(tile, (x, y), tile)
+    arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
+    return arr, words
+
+
+def make_scene_records(
+    n: int, size: int = 256, num_words: int = 3, seed: int = 0
+) -> List[Dict]:
+    """Records shaped like data.satext's (image/text/prompt), enough for the
+    stage-1 trainer path and the probe's eval loop."""
+    rng = np.random.default_rng(seed)
+    records = []
+    for i in range(n):
+        img, words = render_scene(rng, size=size, num_words=num_words)
+        records.append(
+            {
+                "img_id": f"scene_{seed}_{i:04d}",
+                "image": img,
+                "text": words,
+                "prompt": '"' + '", "'.join(words) + '".',
+            }
+        )
+    return records

@@ -78,12 +78,30 @@ class Checkpointer:
         TPU runtime this STALLS at full geometry: orbax's background
         device->host pull moved <1 MB in 10 min (CLAUDE.md gotcha).
       * "host_staged" (default): save() pulls the state to host numpy
-        LEAF BY LEAF in the foreground — the same device->host copy a sync
-        save performs, which axon handles fine — then hands the numpy tree
-        to a single background writer thread that does the (pure-disk) orbax
-        save. Donation is safe the moment save() returns; only the disk
-        write overlaps training. At most one staged state is held (a second
-        save joins the previous write first), bounding host memory.
+        in the foreground — the same device->host copy a sync save
+        performs, which axon handles fine (all leaves are prefetched with
+        copy_to_host_async first: concurrent transfers run ~30% faster
+        than serial on the axon tunnel, tools/probe_d2h_bandwidth.py) —
+        then hands the numpy tree to a single background writer thread
+        that does the (pure-disk) orbax save. Donation is safe the moment
+        save() returns; only the disk write overlaps training. At most
+        one staged state is held (a second save joins the previous write
+        first), bounding host memory.
+      * "device_staged": save() makes an ON-DEVICE copy of the step tree
+        (one jitted tree-copy — milliseconds at HBM bandwidth) and returns;
+        the background thread pulls from that immutable snapshot and writes.
+        The device->host pull — which blocks the loop for 409-465 s/save at
+        stage-3 geometry in host_staged mode (the axon tunnel moves ~25-34
+        MB/s, tools/probe_d2h_bandwidth.py) — fully overlaps training.
+        Unlike orbax's async save, the pull is plain per-leaf np.asarray in
+        our own thread, which the axon runtime handles (probe: thread-pool
+        pulls complete at full bandwidth; orbax's stalls). Costs transient
+        HBM for the snapshot (trainable partition + opt state; the frozen
+        partition is excluded when set_partition_mask is active), freed
+        when the write lands. MEASURED: at full stage-3 geometry on a
+        16 GB v5e the snapshot (~4.8 GB) does not fit next to the train
+        step's working set — the step after the first save OOMs
+        (rehearsal, 2026-08-18). Use host_staged at that scale.
 
     `set_partition_mask(mask)` additionally makes saves PARTITION-AWARE:
     the frozen partition (never mutated by training) is written ONCE to
@@ -107,7 +125,7 @@ class Checkpointer:
 
         self.dir = os.path.abspath(ckpt_dir)
         self.async_save = async_save
-        if async_mode not in ("host_staged", "orbax"):
+        if async_mode not in ("host_staged", "device_staged", "orbax"):
             raise ValueError(f"unknown async_mode {async_mode!r}")
         self.async_mode = async_mode
         os.makedirs(self.dir, exist_ok=True)
@@ -149,8 +167,34 @@ class Checkpointer:
     def _save_frozen(self, frozen):
         import orbax.checkpoint as ocp
 
-        host = jax.tree.map(np.asarray, frozen)
-        ocp.StandardCheckpointer().save(self._frozen_dir, host)
+        ocp.StandardCheckpointer().save(self._frozen_dir, self._pull(frozen))
+
+    @staticmethod
+    def _pull(tree):
+        """Device->host pull of a whole tree. All transfers are issued
+        before any is awaited: concurrent pulls run ~30% faster than
+        serial on the axon tunnel (tools/probe_d2h_bandwidth.py)."""
+        leaves, treedef = jax.tree.flatten(tree)
+        for x in leaves:
+            if hasattr(x, "copy_to_host_async"):
+                try:
+                    x.copy_to_host_async()
+                except Exception:
+                    pass  # backend without async copies: plain reads below
+        return jax.tree.unflatten(treedef, [np.asarray(x) for x in leaves])
+
+    def _spawn_writer(self, step: int, work):
+        import threading
+
+        def _run():
+            try:
+                work()
+            except BaseException as e:  # surfaced on next save/wait
+                self._writer_err = e
+
+        self._pending_step = step
+        self._writer = threading.Thread(target=_run, daemon=True)
+        self._writer.start()
 
     def save(self, step: int, state: TrainState):
         import orbax.checkpoint as ocp
@@ -160,25 +204,27 @@ class Checkpointer:
             # one-time foreground write (it IS the bulk — that's the point)
             self._save_frozen(frozen)
 
+        def _write_host(host):
+            self.mngr.save(step, args=ocp.args.StandardSave(host))
+            self.mngr.wait_until_finished()
+
         if self.async_save and self.async_mode == "host_staged":
-            import threading
-
             self._join_writer()  # one staged state at a time
-            # foreground chunked pull: per-leaf device_get keeps peak host
-            # staging at one leaf beyond the accumulated tree and avoids
-            # orbax's async transfer machinery entirely
-            host = jax.tree.map(lambda x: np.asarray(x), tree)
+            # foreground pull: donation is safe the moment save() returns
+            host = self._pull(tree)
+            self._spawn_writer(step, lambda: _write_host(host))
+            return
 
-            def _write():
-                try:
-                    self.mngr.save(step, args=ocp.args.StandardSave(host))
-                    self.mngr.wait_until_finished()
-                except BaseException as e:  # surfaced on next save/wait
-                    self._writer_err = e
-
-            self._pending_step = step
-            self._writer = threading.Thread(target=_write, daemon=True)
-            self._writer.start()
+        if self.async_save and self.async_mode == "device_staged":
+            self._join_writer()
+            # one jitted whole-tree copy: a single dispatch (per-leaf eager
+            # copies would pay the ~30 ms axon RPC overhead per leaf). The
+            # copy reads the live buffers BEFORE the next train step's
+            # donation can reuse them (device execution is in-order), and
+            # the snapshot buffers are fresh, so the background pull reads
+            # a consistent state no matter how far training runs ahead.
+            snap = jax.jit(lambda t: jax.tree.map(jnp.copy, t))(tree)
+            self._spawn_writer(step, lambda: _write_host(self._pull(snap)))
             return
 
         self.mngr.save(step, args=ocp.args.StandardSave(tree))
@@ -510,12 +556,16 @@ class Trainer:
         num_steps: Optional[int] = None,
         resume: bool = True,
         val_samples=None,
+        deg_sampler: Optional[Callable] = None,
     ) -> TrainState:
         """batches yield dicts from SATextDataset.collate; encode_prompt_fn:
         list[str] -> (text_embeds, pooled). With `val_samples` (see
         validate()) and train_cfg.validation_steps > 0, the full SR pipeline
         runs on them every N steps and logs val/* metrics — the reference's
-        in-training validation (train_dit4sr.py:519-748)."""
+        in-training validation (train_dit4sr.py:519-748). `deg_sampler`
+        overrides the degradation randomness (rng, batch, kernels) ->
+        DegradationParams — default is the full Real-ESRGAN draw; the
+        quality probe passes a mild deterministic recipe."""
         if resume:
             state = self.ckpt.restore(state, release_template=True)
         preprocess = self.make_preprocess_fn()
@@ -523,6 +573,9 @@ class Trainer:
         np_rng = np.random.default_rng(self.train_cfg.seed)
 
         from dit4sr_tpu.data.degradation import sample_params
+
+        if deg_sampler is None:
+            deg_sampler = sample_params
 
         # preemption safety (TPU pods get reclaimed; the reference has no
         # handling — SURVEY.md §5 "no preemption handling"): SIGTERM/SIGINT
@@ -564,7 +617,7 @@ class Trainer:
                 break
             gt = jnp.asarray(batch["gt"])
             kernels = (batch["kernel1"], batch["kernel2"], batch["sinc_kernel"])
-            deg_params = sample_params(np_rng, gt.shape[0], kernels)
+            deg_params = deg_sampler(np_rng, gt.shape[0], kernels)
             step_rng = jax.random.fold_in(rng, step)
             hq_lat, lq_lat = preprocess(vae_params, step_rng, gt, deg_params)
 

@@ -1,0 +1,282 @@
+"""Self-contained end-to-end quality probe: prove the framework LEARNS.
+
+Round-1 review gap: "quality is measured nowhere on real data — nothing
+prevents a semantically wrong-but-stable pipeline from passing everything."
+Real SAMText/SD3.5 assets don't exist in this environment (zero egress), so
+this probe builds the entire stack from scratch on a learnable synthetic
+domain (rendered text scenes, data/textscenes.py) and demands a quality WIN:
+
+  1. train a small AutoencoderKL on the scenes (train/vae_train.py) and
+     calibrate its latent scale;
+  2. stage-1-train a small MMDiT on mild Real-ESRGAN degradations
+     (data/degradation.py: mild_params — dominated by the intrinsic x4
+     down-up) through the standard Trainer;
+  3. run the standard SRPipeline on held-out degraded images and compare
+     PSNR/SSIM of (SR output vs GT) against (degraded input vs GT) and the
+     VAE reconstruction ceiling.
+
+PASS = SR beats the degraded input on PSNR. Artifacts: metrics.json +
+side-by-side panels under --out_dir.
+
+Usage:
+  python scripts/quality_probe.py                      # real TPU, ~20 min
+  JAX_PLATFORMS=cpu python scripts/quality_probe.py --smoke   # CI wiring test
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def scene_batches(records, batch_size, seed):
+    """Endless batches shaped like SATextDataset.collate's stage-1 output;
+    kernels are delta placeholders (mild_params ignores them)."""
+    delta = np.zeros((21, 21), np.float32)
+    delta[10, 10] = 1.0
+    rng = np.random.default_rng(seed)
+    while True:
+        idx = rng.integers(0, len(records), batch_size)
+        yield {
+            "gt": np.stack([records[i]["image"] for i in idx]),
+            "kernel1": np.stack([delta] * batch_size),
+            "kernel2": np.stack([delta] * batch_size),
+            "sinc_kernel": np.stack([delta] * batch_size),
+            "prompt": [records[i]["prompt"] for i in idx],
+        }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out_dir", default="artifacts/quality_probe")
+    ap.add_argument("--vae_steps", type=int, default=3000)
+    ap.add_argument("--train_steps", type=int, default=6000)
+    ap.add_argument("--infer_steps", type=int, default=14)
+    ap.add_argument("--image_size", type=int, default=256)
+    ap.add_argument("--n_train", type=int, default=256)
+    ap.add_argument("--n_eval", type=int, default=8)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny geometry + a handful of steps: proves the "
+                         "wiring, not quality (metrics will be noise)")
+    args = ap.parse_args()
+
+    from dit4sr_tpu.config import (
+        MMDiTConfig, SamplerConfig, SchedulerConfig, TrainConfig, VAEConfig,
+        mmdit_tiny, vae_tiny,
+    )
+    from dit4sr_tpu.data.degradation import mild_params, realesrgan_degradation
+    from dit4sr_tpu.data.textscenes import make_scene_records
+    from dit4sr_tpu.eval.metrics import psnr, ssim
+    from dit4sr_tpu.models.mmdit import MMDiT
+    from dit4sr_tpu.models.vae import AutoencoderKL
+    from dit4sr_tpu.pipelines.sr_pipeline import SRPipeline
+    from dit4sr_tpu.text.encoders import HashTextEncoder
+    from dit4sr_tpu.train.trainer import Trainer
+    from dit4sr_tpu.train.vae_train import measure_latent_stats, train_vae
+
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    if args.smoke:
+        args.image_size, args.n_train, args.n_eval = 64, 8, 2
+        args.vae_steps, args.train_steps, args.infer_steps = 3, 3, 2
+        args.batch_size = 2
+
+    size = args.image_size
+
+    # --- geometry: /4 VAE (crisp text needs headroom), ~25M-param MMDiT ----
+    if args.smoke:
+        vae_cfg = vae_tiny(block_out_channels=(8, 16, 16))  # /4
+    else:
+        vae_cfg = VAEConfig(
+            latent_channels=8,
+            block_out_channels=(64, 128, 128),              # /4 downsample
+            layers_per_block=1,
+            norm_num_groups=16,
+            sample_size=size,
+            dtype=jnp.float32,
+        )
+    latent_size = size // 4
+    if args.smoke:
+        model_cfg = mmdit_tiny(
+            in_channels=vae_cfg.latent_channels,
+            out_channels=vae_cfg.latent_channels,
+            sample_size=latent_size,
+            pos_embed_max_size=latent_size,
+        )
+    else:
+        model_cfg = MMDiTConfig(
+            sample_size=latent_size,
+            patch_size=2,
+            in_channels=vae_cfg.latent_channels,
+            out_channels=vae_cfg.latent_channels,
+            num_layers=6,
+            attention_head_dim=64,
+            num_attention_heads=6,
+            joint_attention_dim=256,
+            caption_projection_dim=384,
+            pooled_projection_dim=128,
+            pos_embed_max_size=latent_size,
+            dual_attention_layers=(0, 1),
+            dtype=jnp.float32,
+        )
+    text_len = 16
+
+    rng = jax.random.PRNGKey(0)
+    print(f"[probe] generating {args.n_train}+{args.n_eval} text scenes @ {size}px")
+    train_recs = make_scene_records(args.n_train, size=size, seed=1)
+    eval_recs = make_scene_records(args.n_eval, size=size, seed=2)
+    bank = np.stack([r["image"] for r in train_recs])
+
+    # --- 1. VAE --------------------------------------------------------------
+    print(f"[probe] training VAE for {args.vae_steps} steps")
+    from dit4sr_tpu.train.trainer import MetricLogger
+
+    logger = MetricLogger(args.out_dir)
+    vae_params = train_vae(
+        jax.random.fold_in(rng, 1), vae_cfg, bank, args.vae_steps,
+        batch_size=args.batch_size, logger=logger,
+    )
+    sf, shf = measure_latent_stats(
+        vae_cfg, vae_params, bank[: min(16, len(bank))], rng
+    )
+    vae_cfg = vae_cfg.with_(scaling_factor=sf, shift_factor=shf)
+    print(f"[probe] latent calibration: scaling={sf:.3f} shift={shf:.3f}")
+
+    # VAE reconstruction ceiling on the eval set
+    vae = AutoencoderKL(vae_cfg)
+
+    @jax.jit
+    def recon(p, x):
+        y, _, _ = vae.apply(p, x * 2.0 - 1.0)
+        return jnp.clip(y * 0.5 + 0.5, 0.0, 1.0)
+
+    eval_gt = np.stack([r["image"] for r in eval_recs])
+    rec = recon(vae_params, jnp.asarray(eval_gt))
+    psnr_vae = float(jnp.mean(psnr(rec, jnp.asarray(eval_gt))))
+    print(f"[probe] VAE recon ceiling: {psnr_vae:.2f} dB")
+
+    # --- 2. diffusion SR training -------------------------------------------
+    train_cfg = TrainConfig(
+        stage="stage1",
+        batch_size=args.batch_size,
+        gradient_accumulation_steps=1,
+        finetune_layer_names=(),          # train the whole (small) model
+        num_train_steps=args.train_steps,
+        checkpointing_steps=max(args.train_steps // 2, 1),
+        null_text_ratio=0.1,
+    )
+    trainer = Trainer(
+        model_cfg, vae_cfg, train_cfg, None, SchedulerConfig(),
+        out_dir=args.out_dir,
+    )
+    encoder = HashTextEncoder(
+        seq_len=text_len,
+        joint_dim=model_cfg.joint_attention_dim,
+        pooled_dim=model_cfg.pooled_projection_dim,
+    )
+    state = trainer.init_state(
+        jax.random.fold_in(rng, 2), latent_size=latent_size, text_len=text_len
+    )
+    print(f"[probe] training MMDiT for {args.train_steps} steps")
+    state = trainer.fit(
+        state,
+        scene_batches(train_recs, args.batch_size, seed=3),
+        vae_params,
+        encoder,
+        jax.random.fold_in(rng, 4),
+        resume=False,
+        deg_sampler=mild_params,
+    )
+
+    # --- 3. eval: SR vs degraded input vs GT ---------------------------------
+    print("[probe] sampling SR on held-out scenes")
+    sampler_cfg = SamplerConfig(
+        num_inference_steps=args.infer_steps,
+        guidance_scale=1.0,
+        start_point="lr",
+        align_method="nofix",
+        process_size=size,
+    )
+    pipe = SRPipeline(
+        trainer.mmdit, vae, model_cfg, vae_cfg, SchedulerConfig(), sampler_cfg
+    )
+    pipe_params = {"mmdit": state.params["mmdit"], "vae": vae_params}
+    run = pipe.jit()
+
+    # degrade EXACTLY like training (mild recipe, USM target excluded)
+    deg = jax.jit(
+        lambda k, g: realesrgan_degradation(
+            k, g, mild_params(None, g.shape[0]), use_usm=False
+        )[1]
+    )
+    lq = np.asarray(deg(jax.random.fold_in(rng, 5), jnp.asarray(eval_gt)))
+
+    prompts = [r["prompt"] for r in eval_recs]
+    te, pe = encoder(prompts)
+    sr = np.asarray(run(pipe_params, jax.random.fold_in(rng, 6), jnp.asarray(lq), te, pe))
+    sr = np.clip(sr, 0.0, 1.0)
+
+    gt_j, lq_j, sr_j = jnp.asarray(eval_gt), jnp.asarray(lq), jnp.asarray(sr)
+    per = {
+        "psnr_sr": np.asarray(psnr(sr_j, gt_j)),
+        "psnr_lq": np.asarray(psnr(lq_j, gt_j)),
+        "ssim_sr": np.asarray(ssim(sr_j, gt_j)),
+        "ssim_lq": np.asarray(ssim(lq_j, gt_j)),
+    }
+    rows = [
+        {"img_id": eval_recs[i]["img_id"],
+         **{k: float(v[i]) for k, v in per.items()}}
+        for i in range(len(eval_gt))
+    ]
+    agg = {
+        k: float(np.mean([r[k] for r in rows]))
+        for k in ("psnr_sr", "psnr_lq", "ssim_sr", "ssim_lq")
+    }
+    agg["psnr_vae_ceiling"] = psnr_vae
+    agg["pass"] = bool(agg["psnr_sr"] > agg["psnr_lq"]) if not args.smoke else None
+    result = {"aggregate": agg, "per_image": rows,
+              "config": {"image_size": size, "vae_steps": args.vae_steps,
+                         "train_steps": args.train_steps,
+                         "infer_steps": args.infer_steps, "smoke": args.smoke}}
+    with open(os.path.join(args.out_dir, "metrics.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+    # side-by-side panels (GT | degraded | SR)
+    try:
+        from dit4sr_tpu.eval.visualize import side_by_side
+        import cv2
+
+        for i in range(min(4, len(eval_gt))):
+            panel = side_by_side(
+                [eval_gt[i], lq[i], sr[i]], labels=["GT", "degraded", "SR"]
+            )
+            cv2.imwrite(
+                os.path.join(args.out_dir, f"panel_{i}.png"), panel[..., ::-1]
+            )
+    except Exception as e:  # visualization must never fail the probe
+        print(f"[probe] panel rendering skipped: {e}")
+
+    print(json.dumps(agg, indent=1))
+    verdict = ("PASS" if agg["pass"] else "FAIL") if not args.smoke else "SMOKE-OK"
+    print(f"[probe] {verdict}: SR {agg['psnr_sr']:.2f} dB vs degraded "
+          f"{agg['psnr_lq']:.2f} dB (VAE ceiling {psnr_vae:.2f} dB)")
+
+
+if __name__ == "__main__":
+    main()

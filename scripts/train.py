@@ -54,10 +54,14 @@ def main():
                     help="FULL geometry on synthetic data (B=2, frozen "
                          "params stored bf16): proves the training loop + "
                          "checkpoint/resume on real hardware without assets")
-    ap.add_argument("--async_ckpt", action="store_true",
-                    help="overlap checkpoint disk writes with training "
-                         "(host_staged mode: foreground device->host pull + "
-                         "background disk writer — the axon-safe async path)")
+    ap.add_argument("--async_ckpt", nargs="?", const="host_staged",
+                    choices=["host_staged", "device_staged", "orbax"],
+                    help="overlap checkpointing with training. host_staged: "
+                         "foreground device->host pull + background disk "
+                         "writer (axon-safe). device_staged: on-device "
+                         "snapshot, pull AND write in the background (costs "
+                         "transient HBM). orbax: orbax's own async save "
+                         "(stalls on axon)")
     args = ap.parse_args()
 
     from dit4sr_tpu.bootstrap import (
@@ -171,7 +175,7 @@ def main():
         train_cfg = dataclasses.replace(
             train_cfg,
             async_checkpointing=True,
-            async_checkpoint_mode="host_staged",
+            async_checkpoint_mode=args.async_ckpt,
         )
 
     out_dir = args.out_dir or os.path.join(

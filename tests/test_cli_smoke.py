@@ -289,3 +289,22 @@ def test_serve_cli_smoke_cfg(tmp_path):
 
     stats = json.loads(r.stdout.strip().splitlines()[-1])
     assert stats["warm"]
+
+
+def test_quality_probe_cli_smoke(tmp_path):
+    """The self-contained quality probe (VAE train -> diffusion train ->
+    pipeline sample -> metrics.json) must run end to end at smoke size."""
+    import json
+
+    out = tmp_path / "qprobe"
+    r = _run(
+        ["scripts/quality_probe.py", "--smoke", "--out_dir", str(out)],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "SMOKE-OK" in r.stdout
+    m = json.loads((out / "metrics.json").read_text())
+    agg = m["aggregate"]
+    for k in ("psnr_sr", "psnr_lq", "ssim_sr", "ssim_lq", "psnr_vae_ceiling"):
+        assert k in agg and agg[k] == agg[k]  # present and not NaN
+    assert len(m["per_image"]) == 2

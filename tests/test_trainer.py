@@ -271,7 +271,7 @@ def test_in_training_validation_schedule(tmp_path):
     assert any(any(k.startswith("val/") for k in l) for l in lines)
 
 
-@pytest.mark.parametrize("mode", ["host_staged", "orbax"])
+@pytest.mark.parametrize("mode", ["host_staged", "device_staged", "orbax"])
 def test_async_checkpointing_survives_immediate_mutation(tmp_path, mode):
     """async save: the write may land after the caller overwrites the state;
     the restored checkpoint must hold the values at save time. host_staged
