@@ -89,7 +89,16 @@ def attention(
                 "impl='ring' needs an active mesh with a 'seq' axis > 1 "
                 "and no runtime key_mask"
             )
-        impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+        # the flash kernel is a bf16 kernel: fp32 operands quarter the MXU
+        # rate (3-pass decomposition) and the decomposition's extra scoped
+        # VMEM OOMs Mosaic at moderate shapes (measured: N=4096, D=128 fp32
+        # fails to compile at any block size). fp32 callers (VAE training)
+        # get the XLA path, which XLA fuses fine.
+        impl = (
+            "pallas"
+            if jax.default_backend() != "cpu" and q.dtype == jnp.bfloat16
+            else "xla"
+        )
     if valid_len is not None and valid_len < q.shape[2] and impl != "pallas":
         tail = jnp.arange(q.shape[2]) < valid_len
         key_mask = tail[None] if key_mask is None else key_mask & tail[None]

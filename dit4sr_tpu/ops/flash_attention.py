@@ -164,17 +164,87 @@ def _bwd_kernel(
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
+def _bwd_vmem_bytes(block_q: int, N: int, D: int, eb: int) -> int:
+    """Estimate of the full-KV backward's scoped-VMEM footprint, calibrated
+    against Mosaic's own accounting at (block_q=512, N=2560, D=64, bf16) =
+    16.06 MB measured vs 16.2 MB here: double-buffered q/o/do/dq blocks +
+    resident k/v/dk/dv + fp32 dk/dv accumulators + ~2.5 live fp32 (BQ, N)
+    intermediates (softmax, dP, dS)."""
+    blocks = 2 * 4 * block_q * D * eb
+    kv = 4 * N * D * eb
+    scratch = 2 * N * D * 4
+    inter = int(2.5 * block_q * N * 4)
+    return blocks + kv + scratch + inter
+
+
+_BWD_VMEM_BUDGET = 15 * 1024 * 1024  # 16 MB scoped stack minus margin
+
+
+def _bwd_xla(valid_len, res, do):
+    """Einsum backward for geometries whose full-KV Pallas bwd cannot fit
+    scoped VMEM at any block size (e.g. the VAE bottleneck at D>=128 fp32:
+    N=4096 needs 4*N*D*eb of resident k/v/dk/dv alone). lax.map runs one
+    (batch, head) at a time so the materialized (N, N) fp32 logits stay at
+    64 MB HBM for N=4096 instead of G times that."""
+    q, k, v, o = res
+    G, N, D = q.shape
+    scale = 1.0 / (D ** 0.5)
+
+    def one(args):
+        q1, k1, v1, o1, do1 = args  # each (N, D)
+        logits = jax.lax.dot_general(
+            q1, k1, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if valid_len < N:
+            col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+            logits = jnp.where(col < valid_len, logits, -jnp.inf)
+        p = jax.nn.softmax(logits, axis=-1)
+        dp = jax.lax.dot_general(
+            do1, v1, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = jnp.sum(
+            do1.astype(jnp.float32) * o1.astype(jnp.float32),
+            axis=-1, keepdims=True,
+        )
+        ds = p * (dp - delta)
+        dsc = ds.astype(q1.dtype)
+        pc = p.astype(v1.dtype)
+        dq = jax.lax.dot_general(
+            dsc, k1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dk = jax.lax.dot_general(
+            dsc, q1, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dv = jax.lax.dot_general(
+            pc, do1, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dq.astype(q1.dtype), dk.astype(k1.dtype), dv.astype(v1.dtype)
+
+    return jax.lax.map(one, (q, k, v, o, do))
+
+
 def _bwd(block_q, valid_len, res, do):
     q, k, v, o = res
     G, N, D = q.shape
+    eb = q.dtype.itemsize
     # The backward tile carries BOTH the fp32 softmax (BQ, N) and the fp32
     # dP (BQ, N) plus the (N, D) fp32 dk/dv scratch — at block_q=512/N=2560
     # that is 16.06 MB, 60 KB OVER the 16 MB scoped-VMEM stack (measured:
     # axon AOT compile of the B=2 train step fails). The forward's swept
-    # optimum (512) is therefore too big here; halve down to <=256. Halving
-    # preserves divisibility: the wrapper pads N to a block_q multiple.
-    while block_q > 256:
+    # optimum (512) is therefore too big here; shrink until the estimated
+    # footprint fits (halving preserves divisibility: the wrapper pads N to
+    # a block_q multiple). Geometries that don't fit even at 64 (measured:
+    # the quality probe's fp32 D=128 N=4096 VAE bwd OOMed Mosaic's 16 MB
+    # stack at block_q=256) take the chunked XLA backward instead.
+    while block_q > 64 and _bwd_vmem_bytes(block_q, N, D, eb) > _BWD_VMEM_BUDGET:
         block_q //= 2
+    if _bwd_vmem_bytes(block_q, N, D, eb) > _BWD_VMEM_BUDGET:
+        return _bwd_xla(valid_len, res, do)
     scale = 1.0 / (D ** 0.5)
     kernel = functools.partial(_bwd_kernel, scale=scale, valid_len=valid_len)
     dq, dk, dv = pl.pallas_call(

@@ -82,6 +82,30 @@ def test_gradient_parity_with_internal_padding():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4)
 
 
+def test_bwd_vmem_fallback_gradient_parity():
+    """Geometries whose resident k/v/dk/dv alone overflow the 16 MB scoped
+    VMEM (e.g. a D=512 VAE bottleneck) must route the backward to the
+    chunked XLA fallback at any block size — and the gradients must still
+    match the einsum reference."""
+    assert fa._bwd_vmem_bytes(64, 2048, 512, 4) > fa._BWD_VMEM_BUDGET
+
+    q, k, v = _qkv(B=1, H=1, N=2048, D=512)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v) ** 2)
+
+    def loss_fa(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_fa = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_fa, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
 def test_runtime_mask_rejected():
     q, k, v = _qkv(N=128)
     with pytest.raises(NotImplementedError):
