@@ -515,6 +515,14 @@ _flash_kv.defvjp(_flash_kv_vjp_fwd, _bwd_kv)
 # resident K/V stop fitting comfortably in VMEM — stream K/V instead
 MAX_FULL_KV_LEN = 8192
 
+# resident K+V byte cap for the full-KV kernel: together with the (BQ, N)
+# logits tile they must fit the 16 MB scoped-VMEM stack. 9 MB keeps the
+# measured-good VAE bottleneck (N=4096, D=512, bf16 -> 8.4 MB K+V, compiles
+# and is the bench path) on the fast kernel while routing e.g. a 640px VAE
+# encode (N=6400, D=512 -> 13.1 MB K+V plus a 13 MB logits tile) to the
+# KV-blocked kernel instead of failing to compile.
+MAX_FULL_KV_BYTES = 9 * 1024 * 1024
+
 
 def flash_attention(
     q: jnp.ndarray,
@@ -549,7 +557,11 @@ def flash_attention(
         # but the full-KV (block_q, N) fp32 logits tile must stay under the
         # 16 MB scoped-VMEM stack: 512x8192x4 = 16.8 MB would OOM
         block_q = 512 if N <= 4096 else 256
-    use_kv_blocked = block_k is not None or N > MAX_FULL_KV_LEN
+    use_kv_blocked = (
+        block_k is not None
+        or N > MAX_FULL_KV_LEN
+        or 2 * N * D * q.dtype.itemsize > MAX_FULL_KV_BYTES
+    )
     if use_kv_blocked and block_k is None:
         block_k = 512
     align = block_q if not use_kv_blocked else (

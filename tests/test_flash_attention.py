@@ -203,3 +203,13 @@ def test_auto_dispatch_above_threshold(monkeypatch):
     ref = mha_reference(q, k, v)
     got = fa.flash_attention(q, k, v, block_q=128)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_auto_dispatch_by_kv_bytes(monkeypatch):
+    """Resident K+V over MAX_FULL_KV_BYTES takes the blocked path even when
+    N is under the token threshold (wide-D VAE bottlenecks)."""
+    monkeypatch.setattr(fa, "MAX_FULL_KV_BYTES", 128 * 1024)
+    q, k, v = _qkv(N=512, D=128, seed=5)  # K+V = 512 KB > capped 128 KB
+    ref = mha_reference(q, k, v)
+    got = fa.flash_attention(q, k, v, block_q=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
