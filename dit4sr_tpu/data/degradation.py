@@ -98,15 +98,31 @@ def sample_params(rng: np.random.Generator, batch: int, kernels) -> DegradationP
     )
 
 
-def mild_params(rng: np.random.Generator, batch: int, kernels=None) -> DegradationParams:
+def mild_params(rng: np.random.Generator, batch: int, kernels=None, *,
+                blur_sigma: float = 0.0, noise_sigma: float = 2.0,
+                jpeg_q: float = 95.0, noise_sigma2: float = 1.0,
+                jpeg_q2: float = 95.0) -> DegradationParams:
     """A deterministic MILD draw for the self-contained quality probe
-    (scripts/quality_probe.py): delta kernels, no second blur, q95 JPEG,
-    light gaussian noise — the dominant degradation left is the intrinsic
-    x4 down-up of stage 2 (`realesrgan_degradation` lands at H/sf). Small
-    models can learn to invert this in minutes, giving an end-to-end
-    quality signal without weight assets. Same (rng, batch, kernels)
-    signature as `sample_params` so Trainer.fit can take either."""
+    (scripts/quality_probe.py): no second blur, fixed JPEG quality and
+    gaussian noise — on top of the intrinsic x4 down-up of stage 2
+    (`realesrgan_degradation` lands at H/sf). Small models can learn to
+    invert this in minutes, giving an end-to-end quality signal without
+    weight assets. Same (rng, batch, kernels) positional signature as
+    `sample_params` so Trainer.fit can take either; the keyword knobs
+    (per-stage gaussian blur sigma / noise sigma / JPEG quality — bind
+    with functools.partial) set the degradation strength. The defaults
+    (delta kernel, sigma 2 noise, q95) leave the LQ within ~0.2 dB of a
+    small VAE's reconstruction ceiling, which makes a PSNR-vs-LQ gate
+    unwinnable — the probe binds stronger values. Stage-2 noise is the
+    effective lever on 256px text scenes (stage-1 noise is averaged away
+    by the final down-up resample): noise_sigma2=15 alone drops LQ from
+    30.7 to 26.7 dB."""
     del rng, kernels
+    if blur_sigma > 0:
+        k1 = gaussian_blur_kernel(21, blur_sigma)
+    else:
+        k1 = np.zeros((21, 21), np.float32)
+        k1[10, 10] = 1.0
     delta = np.zeros((21, 21), np.float32)
     delta[10, 10] = 1.0
     k = jnp.broadcast_to(jnp.asarray(delta), (batch, 21, 21))
@@ -115,24 +131,24 @@ def mild_params(rng: np.random.Generator, batch: int, kernels=None) -> Degradati
         return jnp.full((batch,), v, jnp.float32)
 
     return DegradationParams(
-        kernel1=k,
+        kernel1=jnp.broadcast_to(jnp.asarray(k1), (batch, 21, 21)),
         kernel2=k,
         sinc_kernel=k,
         resize1_idx=jnp.int32(RESIZE1_SCALES.index(1.0)),
         resize1_mode=jnp.int32(2),
         use_gaussian1=jnp.bool_(True),
-        noise_sigma1=full(2.0),
+        noise_sigma1=full(noise_sigma),
         poisson_scale1=full(0.05),
         gray_noise1=jnp.zeros((batch,), bool),
-        jpeg_q1=full(95.0),
+        jpeg_q1=full(jpeg_q),
         use_blur2=jnp.bool_(False),
         resize2_idx=jnp.int32(RESIZE2_SCALES.index(1.0)),
         resize2_mode=jnp.int32(2),
         use_gaussian2=jnp.bool_(True),
-        noise_sigma2=full(1.0),
+        noise_sigma2=full(noise_sigma2),
         poisson_scale2=full(0.05),
         gray_noise2=jnp.zeros((batch,), bool),
-        jpeg_q2=full(95.0),
+        jpeg_q2=full(jpeg_q2),
         final_mode=jnp.int32(2),
         jpeg_first=jnp.bool_(False),
     )

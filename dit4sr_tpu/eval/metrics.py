@@ -41,18 +41,24 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     kernel = jnp.tile(win, (1, 1, 1, c))
 
     def filt(x):
+        # HIGHEST precision is load-bearing on TPU: the default MXU path
+        # computes this conv in bf16, and the variance terms below are
+        # differences of O(1) quantities — bf16 error (~6e-3) dwarfs
+        # C2=9e-4, flipping denominators negative and producing |SSIM| >> 1.
         return jax.lax.conv_general_dilated(
             x.astype(jnp.float32), kernel, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
     mu_a, mu_b = filt(a), filt(b)
     mu_a2, mu_b2, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
-    sa = filt(a * a) - mu_a2
-    sb = filt(b * b) - mu_b2
+    # true variances are >= 0; clamp away residual cancellation error
+    sa = jnp.maximum(filt(a * a) - mu_a2, 0.0)
+    sb = jnp.maximum(filt(b * b) - mu_b2, 0.0)
     sab = filt(a * b) - mu_ab
     ssim_map = ((2 * mu_ab + C1) * (2 * sab + C2)) / (
         (mu_a2 + mu_b2 + C1) * (sa + sb + C2)

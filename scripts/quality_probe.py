@@ -26,6 +26,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -137,6 +138,17 @@ def main():
         )
     text_len = 16
 
+    # Degradation recipe: strong enough that SR has real headroom over the
+    # LQ input. The default mild recipe lands the LQ at ~30.7 dB — ABOVE a
+    # small VAE's ~30.4 dB reconstruction ceiling, making the PSNR gate
+    # unwinnable no matter how well the model learns (round-2 run:
+    # SR 25.7 dB vs LQ 30.7). Blur + stage-2 noise/JPEG drop the LQ to
+    # ~26 dB, leaving ~4 dB of winnable headroom below the ceiling.
+    deg_sampler = functools.partial(
+        mild_params, blur_sigma=1.5, noise_sigma=4.0,
+        noise_sigma2=12.0, jpeg_q2=60.0,
+    )
+
     rng = jax.random.PRNGKey(0)
     print(f"[probe] generating {args.n_train}+{args.n_eval} text scenes @ {size}px")
     train_recs = make_scene_records(args.n_train, size=size, seed=1)
@@ -201,7 +213,7 @@ def main():
         encoder,
         jax.random.fold_in(rng, 4),
         resume=False,
-        deg_sampler=mild_params,
+        deg_sampler=deg_sampler,
     )
 
     # --- 3. eval: SR vs degraded input vs GT ---------------------------------
@@ -219,13 +231,13 @@ def main():
     pipe_params = {"mmdit": state.params["mmdit"], "vae": vae_params}
     run = pipe.jit()
 
-    # degrade EXACTLY like training (mild recipe, USM target excluded)
+    # degrade EXACTLY like training (same bound recipe, USM target excluded)
     deg = jax.jit(
         lambda k, g: realesrgan_degradation(
-            k, g, mild_params(None, g.shape[0]), use_usm=False
+            k, g, deg_sampler(None, g.shape[0]), use_usm=False
         )[1]
     )
-    lq = np.asarray(deg(jax.random.fold_in(rng, 5), jnp.asarray(eval_gt)))
+    lq = np.clip(np.asarray(deg(jax.random.fold_in(rng, 5), jnp.asarray(eval_gt))), 0.0, 1.0)
 
     prompts = [r["prompt"] for r in eval_recs]
     te, pe = encoder(prompts)
