@@ -310,4 +310,10 @@ def random_clipiqa_params(
 
 def make_clipiqa(npz_path: str) -> Callable:
     params = {k: jnp.asarray(v) for k, v in np.load(npz_path).items()}
-    return jax.jit(lambda x: clipiqa_score(params, x))
+
+    def scorer(x):
+        # fp32 precision: match the fp32 torch reference (TPU default is bf16)
+        with jax.default_matmul_precision("float32"):
+            return clipiqa_score(params, x)
+
+    return jax.jit(scorer)

@@ -98,8 +98,11 @@ def dists_score(params: Dict, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         xm = xa.mean(axis=(1, 2))  # (B, C)
         ym = xb.mean(axis=(1, 2))
         s1 = (2 * xm * ym + c1) / (xm * xm + ym * ym + c1)
-        xv = (xa * xa).mean(axis=(1, 2)) - xm * xm
-        yv = (xb * xb).mean(axis=(1, 2)) - ym * ym
+        # clamp: true variances are >= 0, but the E[x^2]-mu^2 form can go
+        # slightly negative via fp32 cancellation at VGG feature magnitudes
+        # (same failure class as the TPU SSIM blowup, eval/metrics.py)
+        xv = jnp.maximum((xa * xa).mean(axis=(1, 2)) - xm * xm, 0.0)
+        yv = jnp.maximum((xb * xb).mean(axis=(1, 2)) - ym * ym, 0.0)
         cov = (xa * xb).mean(axis=(1, 2)) - xm * ym
         s2 = (2 * cov + c2) / (xv + yv + c2)
         total = total + (al * s1).sum(-1) + (be * s2).sum(-1)
@@ -149,4 +152,10 @@ def random_dists_params(rng: np.random.Generator) -> Dict[str, np.ndarray]:
 
 def make_dists(npz_path: str) -> Callable:
     params = {k: jnp.asarray(v) for k, v in np.load(npz_path).items()}
-    return jax.jit(lambda a, b: dists_score(params, a, b))
+
+    def scorer(a, b):
+        # fp32 precision: match the fp32 torch reference (TPU default is bf16)
+        with jax.default_matmul_precision("float32"):
+            return dists_score(params, a, b)
+
+    return jax.jit(scorer)

@@ -116,4 +116,11 @@ def random_lpips_params(rng: np.random.Generator) -> Dict[str, np.ndarray]:
 def make_lpips(npz_path: str) -> Callable:
     data = dict(np.load(npz_path))
     params = {k: jnp.asarray(v) for k, v in data.items()}
-    return jax.jit(lambda a, b: lpips_distance(params, a, b))
+
+    def scorer(a, b):
+        # fp32 precision: metric values must match the fp32 torch reference;
+        # TPU's default bf16 matmul/conv precision drifts them
+        with jax.default_matmul_precision("float32"):
+            return lpips_distance(params, a, b)
+
+    return jax.jit(scorer)

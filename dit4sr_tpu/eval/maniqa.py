@@ -299,7 +299,13 @@ def random_maniqa_params(rng: np.random.Generator,
 
 def make_maniqa(npz_path: str) -> Callable:
     params = {k: jnp.asarray(v) for k, v in np.load(npz_path).items()}
-    scorer = jax.jit(lambda x: maniqa_score(params, x))
+
+    def _score(x):
+        # fp32 precision: match the fp32 torch reference (TPU default is bf16)
+        with jax.default_matmul_precision("float32"):
+            return maniqa_score(params, x)
+
+    scorer = jax.jit(_score)
 
     def metric(x: jnp.ndarray) -> jnp.ndarray:
         if x.shape[1] != 224 or x.shape[2] != 224:

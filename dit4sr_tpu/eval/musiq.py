@@ -275,7 +275,13 @@ def random_musiq_params(rng: np.random.Generator) -> Dict[str, np.ndarray]:
 
 def make_musiq(npz_path: str) -> Callable:
     params = {k: jnp.asarray(v) for k, v in np.load(npz_path).items()}
-    scorer = jax.jit(lambda inp: musiq_score(params, inp))
+
+    def _score(inp):
+        # fp32 precision: match the fp32 torch reference (TPU default is bf16)
+        with jax.default_matmul_precision("float32"):
+            return musiq_score(params, inp)
+
+    scorer = jax.jit(_score)
 
     def metric(x) -> np.ndarray:
         inp = prepare_inputs(np.asarray(x))
