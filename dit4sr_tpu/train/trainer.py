@@ -199,6 +199,14 @@ class Checkpointer:
     def save(self, step: int, state: TrainState):
         import orbax.checkpoint as ocp
 
+        if step in self.mngr.all_steps():
+            # stale save from a previous non-resumed run over the same
+            # out_dir (orbax raises StepAlreadyExistsError on duplicates):
+            # the live training state is the truth — replace it. Resumed
+            # runs never collide (they restart past the latest step), and
+            # the preemption path skips the save when latest_step == step.
+            self.mngr.delete(step)
+
         tree, frozen = self._split_tree(state)
         if frozen is not None:
             # one-time foreground write (it IS the bulk — that's the point)

@@ -75,6 +75,10 @@ def main():
     ap.add_argument("--smoke", action="store_true",
                     help="tiny geometry + a handful of steps: proves the "
                          "wiring, not quality (metrics will be noise)")
+    ap.add_argument("--eval_only", action="store_true",
+                    help="skip training: reload vae.pkl + the latest trainer "
+                         "checkpoint from --out_dir and re-run sampling + "
+                         "metrics (e.g. to sweep --infer_steps cheaply)")
     args = ap.parse_args()
 
     from dit4sr_tpu.config import (
@@ -156,17 +160,29 @@ def main():
     bank = np.stack([r["image"] for r in train_recs])
 
     # --- 1. VAE --------------------------------------------------------------
-    print(f"[probe] training VAE for {args.vae_steps} steps")
-    from dit4sr_tpu.train.trainer import MetricLogger
+    import pickle
 
-    logger = MetricLogger(args.out_dir)
-    vae_params = train_vae(
-        jax.random.fold_in(rng, 1), vae_cfg, bank, args.vae_steps,
-        batch_size=args.batch_size, logger=logger,
-    )
-    sf, shf = measure_latent_stats(
-        vae_cfg, vae_params, bank[: min(16, len(bank))], rng
-    )
+    vae_pkl = os.path.join(args.out_dir, "vae.pkl")
+    if args.eval_only:
+        with open(vae_pkl, "rb") as f:
+            saved = pickle.load(f)
+        vae_params, sf, shf = saved["params"], saved["scaling"], saved["shift"]
+        print(f"[probe] reloaded VAE from {vae_pkl}")
+    else:
+        print(f"[probe] training VAE for {args.vae_steps} steps")
+        from dit4sr_tpu.train.trainer import MetricLogger
+
+        logger = MetricLogger(args.out_dir)
+        vae_params = train_vae(
+            jax.random.fold_in(rng, 1), vae_cfg, bank, args.vae_steps,
+            batch_size=args.batch_size, logger=logger,
+        )
+        sf, shf = measure_latent_stats(
+            vae_cfg, vae_params, bank[: min(16, len(bank))], rng
+        )
+        with open(vae_pkl, "wb") as f:
+            pickle.dump({"params": jax.device_get(vae_params),
+                         "scaling": sf, "shift": shf}, f)
     vae_cfg = vae_cfg.with_(scaling_factor=sf, shift_factor=shf)
     print(f"[probe] latent calibration: scaling={sf:.3f} shift={shf:.3f}")
 
@@ -205,16 +221,20 @@ def main():
     state = trainer.init_state(
         jax.random.fold_in(rng, 2), latent_size=latent_size, text_len=text_len
     )
-    print(f"[probe] training MMDiT for {args.train_steps} steps")
-    state = trainer.fit(
-        state,
-        scene_batches(train_recs, args.batch_size, seed=3),
-        vae_params,
-        encoder,
-        jax.random.fold_in(rng, 4),
-        resume=False,
-        deg_sampler=deg_sampler,
-    )
+    if args.eval_only:
+        state = trainer.ckpt.restore(state, release_template=True)
+        print(f"[probe] restored trainer checkpoint at step {int(state.step)}")
+    else:
+        print(f"[probe] training MMDiT for {args.train_steps} steps")
+        state = trainer.fit(
+            state,
+            scene_batches(train_recs, args.batch_size, seed=3),
+            vae_params,
+            encoder,
+            jax.random.fold_in(rng, 4),
+            resume=False,
+            deg_sampler=deg_sampler,
+        )
 
     # --- 3. eval: SR vs degraded input vs GT ---------------------------------
     print("[probe] sampling SR on held-out scenes")

@@ -323,6 +323,31 @@ def test_host_staged_pending_step_visible(tmp_path):
     assert ckpt.latest_step() == 5
 
 
+def test_save_overwrites_stale_step(tmp_path):
+    """A fresh (non-resumed) run over an out_dir holding a previous run's
+    checkpoint at the same step must overwrite it, not die on orbax's
+    StepAlreadyExistsError (hit by scripts/quality_probe.py reruns)."""
+    from dit4sr_tpu.train.trainer import Checkpointer
+
+    trainer, *_ = _mk_trainer(tmp_path, "stage1", with_testr=False)
+    state_a = trainer.init_state(jax.random.PRNGKey(0), text_len=TEXT_LEN, latent_size=8)
+    ck_dir = str(tmp_path / "ck_dup")
+    Checkpointer(ck_dir).save(3, state_a)
+
+    # a new run over the same dir reaches step 3 with different values
+    state_b = TrainState(
+        jax.tree.map(lambda x: x * 0 + 5.0, state_a.params),
+        state_a.opt_state, state_a.step, state_a.ema,
+    )
+    ck2 = Checkpointer(ck_dir)
+    ck2.save(3, state_b)  # must not raise
+    restored = ck2.restore(
+        trainer.init_state(jax.random.PRNGKey(9), text_len=TEXT_LEN, latent_size=8)
+    )
+    for a, b in zip(jax.tree.leaves(state_b.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_partition_aware_checkpointing(tmp_path):
     """checkpoint_frozen_once: the frozen partition is written once to
     <ckpt>/frozen; per-step items hold only the trainable tree. Restore
