@@ -163,12 +163,17 @@ def main():
     import pickle
 
     vae_pkl = os.path.join(args.out_dir, "vae.pkl")
-    if args.eval_only:
+    if args.eval_only and os.path.exists(vae_pkl):
         with open(vae_pkl, "rb") as f:
             saved = pickle.load(f)
         vae_params, sf, shf = saved["params"], saved["scaling"], saved["shift"]
         print(f"[probe] reloaded VAE from {vae_pkl}")
     else:
+        if args.eval_only:
+            # runs that predate vae.pkl persistence: VAE training is
+            # deterministic (fixed fold_in seeds), so retraining rebuilds
+            # the exact VAE the checkpointed MMDiT was trained against
+            print("[probe] no vae.pkl — retraining the (deterministic) VAE")
         print(f"[probe] training VAE for {args.vae_steps} steps")
         from dit4sr_tpu.train.trainer import MetricLogger
 
