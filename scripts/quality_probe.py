@@ -84,6 +84,9 @@ def main():
                     help="skip training: reload vae.pkl + the latest trainer "
                          "checkpoint from --out_dir and re-run sampling + "
                          "metrics (e.g. to sweep --infer_steps cheaply)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume MMDiT training from the latest trainer "
+                         "checkpoint in --out_dir (e.g. after an axon stall)")
     ap.add_argument("--reuse_vae", action="store_true",
                     help="reload vae.pkl if present instead of retraining "
                          "the VAE (scene bank is seed-deterministic, so a "
@@ -253,7 +256,7 @@ def main():
             vae_params,
             encoder,
             jax.random.fold_in(rng, 4),
-            resume=False,
+            resume=args.resume,
             deg_sampler=deg_sampler,
         )
 
