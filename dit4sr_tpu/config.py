@@ -323,9 +323,11 @@ class OptimConfig:
     lr_power: float = 1.0           # polynomial
     lr_end: float = 1e-7            # polynomial floor
     # reference offers AdamW8bit via bitsandbytes (initialize.py:563-590);
-    # here "adamw" (fp32 state) or "adamw_bf16" (bf16 1st/2nd moments — the
-    # TPU-native low-memory equivalent)
+    # here "adamw" (fp32 state), "adamw_bf16" (bf16 1st/2nd moments), or
+    # "adamw_8bit" (block-wise int8 moments, train/adam8bit.py — the direct
+    # bnb AdamW8bit equivalent at ~1 byte/param/moment)
     optimizer: str = "adamw"
+    quant_block_size: int = 256     # adamw_8bit per-block scale granularity
 
 
 @dataclass(frozen=True)
@@ -392,6 +394,15 @@ class TrainConfig:
     # pull that blocks the train loop on axon (~5.3 of ~10 GB at stage-3
     # geometry). Restore recombines; legacy full-tree ckpts still load.
     checkpoint_frozen_once: bool = True
+    # lossy checkpoint transport: "" (exact fp32) or "bfloat16" — fp32 leaves
+    # are cast to bf16 on DEVICE before the device->host pull, halving the
+    # bytes moved over the ~25-34 MB/s axon tunnel (the pull, not the disk
+    # write, is what blocks the loop: 409-465 s/save at stage-3 geometry).
+    # Restore casts back to fp32 (a transport.json marker makes checkpoints
+    # self-describing). Opt-in: bf16 masters lose ~3 decimal digits — the
+    # standard large-model bf16-checkpoint tradeoff, fine for resumes, not
+    # for bit-exact reproduction.
+    checkpoint_transport_dtype: str = ""
     # in-training validation cadence (reference train_dit4sr.py:519-748 runs
     # the full pipeline inside training); 0 = off, or pass val_samples to
     # Trainer.fit and set a step interval

@@ -1,0 +1,129 @@
+"""Block-wise 8-bit Adam moments — TPU-native AdamW8bit parity.
+
+The reference offers bitsandbytes AdamW8bit (initialize.py:563-590): both
+Adam moments live in 8-bit with per-block scales and are dequantized /
+requantized around each update. This is the JAX equivalent as an optax
+transform, designed for the partitioned train state (train_state.py):
+
+  * first moment (mu): signed int8, symmetric per-block absmax scaling;
+  * second moment (nu): stored in the SQRT domain as uint8 with per-block
+    max scaling — nu >= 0 always, and sqrt-domain quantization gives far
+    better relative precision for the small entries that dominate
+    1/(sqrt(nu)+eps) (bnb solves the same problem with its nonlinear
+    "dynamic" code; the sqrt domain is the closed-form version);
+  * scales are one fp32 per `block_size` elements, so state overhead is
+    ~1.016 bytes/param/moment at the default block of 256 — vs 4 (fp32)
+    or 2 (adamw_bf16). For the 398M-trainable stage-3 partition that is
+    ~0.8 GB of moment state instead of ~3.2 GB fp32.
+
+Quantization error behaves like bnb's: the moments are requantized every
+step, so errors act as a small bounded noise on the EMA, not a drift
+(tests/test_adam8bit.py checks convergence tracks fp32 Adam).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _pad_blocks(flat: jnp.ndarray, block: int) -> jnp.ndarray:
+    n = flat.shape[0]
+    nb = -(-n // block)
+    return jnp.pad(flat, (0, nb * block - n)).reshape(nb, block)
+
+
+def quantize_signed(x: jnp.ndarray, block: int):
+    """x -> (int8 q, fp32 per-block scale). Symmetric absmax scaling."""
+    blocks = _pad_blocks(x.reshape(-1).astype(jnp.float32), block)
+    scale = jnp.max(jnp.abs(blocks), axis=1) / 127.0
+    safe = jnp.maximum(scale, jnp.finfo(jnp.float32).tiny)
+    q = jnp.clip(jnp.round(blocks / safe[:, None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_signed(q: jnp.ndarray, scale: jnp.ndarray, like: jnp.ndarray):
+    flat = (q.astype(jnp.float32) * scale[:, None]).reshape(-1)
+    return flat[: like.size].reshape(like.shape)
+
+
+def quantize_sqrt(x: jnp.ndarray, block: int):
+    """Non-negative x -> (uint8 q of sqrt(x), fp32 per-block scale)."""
+    blocks = _pad_blocks(x.reshape(-1).astype(jnp.float32), block)
+    root = jnp.sqrt(blocks)
+    scale = jnp.max(root, axis=1) / 255.0
+    safe = jnp.maximum(scale, jnp.finfo(jnp.float32).tiny)
+    q = jnp.clip(jnp.round(root / safe[:, None]), 0, 255).astype(jnp.uint8)
+    return q, scale
+
+
+def dequantize_sqrt(q: jnp.ndarray, scale: jnp.ndarray, like: jnp.ndarray):
+    root = (q.astype(jnp.float32) * scale[:, None]).reshape(-1)
+    return jnp.square(root[: like.size]).reshape(like.shape)
+
+
+class ScaleByAdam8bitState(NamedTuple):
+    count: jnp.ndarray
+    mu_q: optax.Params      # int8 pytree, (nb, block) per leaf
+    mu_scale: optax.Params  # fp32 pytree, (nb,) per leaf
+    nu_q: optax.Params      # uint8 pytree (sqrt domain)
+    nu_scale: optax.Params
+
+
+def scale_by_adam_8bit(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    block_size: int = 256,
+) -> optax.GradientTransformation:
+    """Adam scaling with 8-bit block-quantized moments (AdamW8bit parity)."""
+
+    def init_fn(params):
+        zeros_signed = jax.tree.map(
+            lambda p: quantize_signed(jnp.zeros(p.shape, jnp.float32), block_size),
+            params,
+        )
+        zeros_sqrt = jax.tree.map(
+            lambda p: quantize_sqrt(jnp.zeros(p.shape, jnp.float32), block_size),
+            params,
+        )
+        is_pair = lambda x: isinstance(x, tuple)
+        return ScaleByAdam8bitState(
+            count=jnp.zeros((), jnp.int32),
+            mu_q=jax.tree.map(lambda t: t[0], zeros_signed, is_leaf=is_pair),
+            mu_scale=jax.tree.map(lambda t: t[1], zeros_signed, is_leaf=is_pair),
+            nu_q=jax.tree.map(lambda t: t[0], zeros_sqrt, is_leaf=is_pair),
+            nu_scale=jax.tree.map(lambda t: t[1], zeros_sqrt, is_leaf=is_pair),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+
+        mu = jax.tree.map(dequantize_signed, state.mu_q, state.mu_scale, updates)
+        nu = jax.tree.map(dequantize_sqrt, state.nu_q, state.nu_scale, updates)
+        mu = jax.tree.map(lambda m, g: b1 * m + (1.0 - b1) * g, mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1.0 - b2) * g * g, nu, updates)
+
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        new_updates = jax.tree.map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu
+        )
+
+        mu_qs = jax.tree.map(lambda m: quantize_signed(m, block_size), mu)
+        nu_qs = jax.tree.map(lambda v: quantize_sqrt(v, block_size), nu)
+        is_pair = lambda x: isinstance(x, tuple)
+        new_state = ScaleByAdam8bitState(
+            count=count,
+            mu_q=jax.tree.map(lambda t: t[0], mu_qs, is_leaf=is_pair),
+            mu_scale=jax.tree.map(lambda t: t[1], mu_qs, is_leaf=is_pair),
+            nu_q=jax.tree.map(lambda t: t[0], nu_qs, is_leaf=is_pair),
+            nu_scale=jax.tree.map(lambda t: t[1], nu_qs, is_leaf=is_pair),
+        )
+        return new_updates, new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)

@@ -124,6 +124,19 @@ def make_optimizer(
         return main
 
     def adamw(lr):
+        if oc.optimizer == "adamw_8bit":
+            # block-wise int8 moments — bnb AdamW8bit parity
+            # (initialize.py:575-580); see train/adam8bit.py
+            from dit4sr_tpu.train.adam8bit import scale_by_adam_8bit
+
+            return optax.chain(
+                scale_by_adam_8bit(
+                    b1=oc.betas[0], b2=oc.betas[1], eps=oc.eps,
+                    block_size=oc.quant_block_size,
+                ),
+                optax.add_decayed_weights(oc.weight_decay),
+                optax.scale_by_learning_rate(schedule_for(lr)),
+            )
         if oc.optimizer == "adamw_bf16":
             # low-memory moments — the TPU answer to the reference's
             # bitsandbytes AdamW8bit option (initialize.py:575-580)

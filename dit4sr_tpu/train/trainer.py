@@ -120,6 +120,7 @@ class Checkpointer:
         keep: int = 3,
         async_save: bool = False,
         async_mode: str = "host_staged",
+        transport_dtype: str = "",
     ):
         import orbax.checkpoint as ocp
 
@@ -128,7 +129,11 @@ class Checkpointer:
         if async_mode not in ("host_staged", "device_staged", "orbax"):
             raise ValueError(f"unknown async_mode {async_mode!r}")
         self.async_mode = async_mode
+        if transport_dtype not in ("", "bfloat16"):
+            raise ValueError(f"unknown transport_dtype {transport_dtype!r}")
+        self._transport = transport_dtype
         os.makedirs(self.dir, exist_ok=True)
+        self._sync_transport_marker()
         self.mngr = ocp.CheckpointManager(
             self.dir,
             options=ocp.CheckpointManagerOptions(max_to_keep=keep),
@@ -137,6 +142,52 @@ class Checkpointer:
         self._writer_err = None    # exception from the last writer, if any
         self._pending_step: Optional[int] = None
         self._mask = None          # trainability pytree (partition-aware)
+
+    # -- lossy bf16 transport (TrainConfig.checkpoint_transport_dtype) -------
+    #
+    # fp32 leaves are cast to bf16 ON DEVICE before the device->host pull,
+    # halving the bytes over the ~25-34 MB/s axon tunnel — the pull is what
+    # blocks the train loop (409-465 s/save at stage-3 geometry). A
+    # transport.json marker makes checkpoints self-describing: restore reads
+    # the marker, builds a bf16 template, and casts back to the train-state
+    # dtypes, so a Checkpointer constructed without the flag still restores
+    # a bf16 checkpoint correctly (and vice versa).
+
+    _CHUNK_BYTES = 256 << 20  # bounds transient HBM held by cast copies
+
+    @property
+    def _marker_path(self) -> str:
+        return os.path.join(self.dir, "transport.json")
+
+    def _sync_transport_marker(self):
+        if os.path.exists(self._marker_path):
+            with open(self._marker_path) as f:
+                on_disk = json.load(f).get("dtype", "")
+            if self._transport and on_disk != self._transport:
+                raise ValueError(
+                    f"checkpoint dir {self.dir} was written with transport "
+                    f"dtype {on_disk!r}, configured {self._transport!r} — "
+                    "mixing precisions in one dir would corrupt resumes"
+                )
+            # adopt the on-disk setting: restores of an existing bf16 dir
+            # work even when the flag isn't passed
+            self._transport = on_disk
+        elif self._transport:
+            has_steps = any(d.isdigit() for d in os.listdir(self.dir))
+            if has_steps:
+                raise ValueError(
+                    f"checkpoint dir {self.dir} already holds exact-fp32 "
+                    "steps; enabling bf16 transport on it would misread "
+                    "them on restore — use a fresh dir"
+                )
+            with open(self._marker_path, "w") as f:
+                json.dump({"dtype": self._transport}, f)
+
+    def _disk_transport(self) -> str:
+        if os.path.exists(self._marker_path):
+            with open(self._marker_path) as f:
+                return json.load(f).get("dtype", "")
+        return ""
 
     def set_partition_mask(self, mask):
         """Enable frozen-once checkpointing: per-step items hold only the
@@ -169,19 +220,52 @@ class Checkpointer:
 
         ocp.StandardCheckpointer().save(self._frozen_dir, self._pull(frozen))
 
-    @staticmethod
-    def _pull(tree):
+    def _pull(self, tree):
         """Device->host pull of a whole tree. All transfers are issued
         before any is awaited: concurrent pulls run ~30% faster than
-        serial on the axon tunnel (tools/probe_d2h_bandwidth.py)."""
+        serial on the axon tunnel (tools/probe_d2h_bandwidth.py).
+
+        With bf16 transport, fp32 leaves are cast on device first (halving
+        the wire bytes); the prefetch window is chunked so the transient
+        cast copies never hold more than ~_CHUNK_BYTES of HBM."""
         leaves, treedef = jax.tree.flatten(tree)
-        for x in leaves:
-            if hasattr(x, "copy_to_host_async"):
-                try:
-                    x.copy_to_host_async()
-                except Exception:
-                    pass  # backend without async copies: plain reads below
-        return jax.tree.unflatten(treedef, [np.asarray(x) for x in leaves])
+        if not self._transport:
+            for x in leaves:
+                if hasattr(x, "copy_to_host_async"):
+                    try:
+                        x.copy_to_host_async()
+                    except Exception:
+                        pass  # backend without async copies: plain reads
+            return jax.tree.unflatten(treedef, [np.asarray(x) for x in leaves])
+
+        out = [None] * len(leaves)
+        pending, budget = [], 0
+
+        def drain():
+            nonlocal budget
+            for j, y in pending:
+                out[j] = np.asarray(y)
+            pending.clear()
+            budget = 0
+
+        for j, x in enumerate(leaves):
+            if not hasattr(x, "copy_to_host_async"):
+                out[j] = np.asarray(x) if hasattr(x, "shape") else x
+                continue
+            # the cast reads the live buffer before any later donation can
+            # reuse it (device execution is in-order — same argument as the
+            # device_staged snapshot)
+            y = x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
+            try:
+                y.copy_to_host_async()
+            except Exception:
+                pass
+            pending.append((j, y))
+            budget += int(getattr(y, "nbytes", 0) or 0)
+            if budget >= self._CHUNK_BYTES:
+                drain()
+        drain()
+        return jax.tree.unflatten(treedef, out)
 
     def _spawn_writer(self, step: int, work):
         import threading
@@ -231,10 +315,26 @@ class Checkpointer:
             # donation can reuse them (device execution is in-order), and
             # the snapshot buffers are fresh, so the background pull reads
             # a consistent state no matter how far training runs ahead.
-            snap = jax.jit(lambda t: jax.tree.map(jnp.copy, t))(tree)
+            # With bf16 transport the snapshot itself is cast — halving
+            # both the transient HBM and the background pull.
+            if self._transport:
+                snap = jax.jit(
+                    lambda t: jax.tree.map(
+                        lambda x: x.astype(jnp.bfloat16)
+                        if x.dtype == jnp.float32
+                        else jnp.copy(x),
+                        t,
+                    )
+                )(tree)
+            else:
+                snap = jax.jit(lambda t: jax.tree.map(jnp.copy, t))(tree)
             self._spawn_writer(step, lambda: _write_host(self._pull(snap)))
             return
 
+        if self._transport:
+            # orbax must never see the fp32 device buffers (it would pull
+            # them at full width); hand it the bf16 host tree instead
+            tree = self._pull(tree)
         self.mngr.save(step, args=ocp.args.StandardSave(tree))
         if not self.async_save:
             self.mngr.wait_until_finished()
@@ -271,12 +371,29 @@ class Checkpointer:
         if step is None:
             return state_like
 
+        transport = self._disk_transport()
+
         def host_template(tree):
+            def leaf(x):
+                if not (hasattr(x, "shape") and hasattr(x, "dtype")):
+                    return x
+                dt = x.dtype
+                if transport and dt == np.float32:
+                    dt = jnp.bfloat16  # saved through the lossy transport
+                return np.empty(x.shape, dt)
+
+            return jax.tree.map(leaf, tree)
+
+        def decast(restored_tree, like_tree):
+            """Cast transport-narrowed leaves back to the live dtypes."""
+            if not transport:
+                return restored_tree
             return jax.tree.map(
-                lambda x: np.empty(x.shape, x.dtype)
-                if hasattr(x, "shape") and hasattr(x, "dtype")
-                else x,
-                tree,
+                lambda r, t: r.astype(t.dtype)
+                if hasattr(r, "dtype") and hasattr(t, "dtype") and r.dtype != t.dtype
+                else r,
+                restored_tree,
+                like_tree,
             )
 
         full_tree = state_like._asdict()
@@ -287,12 +404,14 @@ class Checkpointer:
             trainable_like, frozen_like = partition_params(
                 full_tree["params"], self._mask
             )
-            template = host_template(dict(full_tree, params=trainable_like))
+            like_step = dict(full_tree, params=trainable_like)
         else:
-            template = host_template(full_tree)
+            like_step = full_tree
+        template = host_template(like_step)
         try:
-            restored = self.mngr.restore(
-                step, args=ocp.args.StandardRestore(template)
+            restored = decast(
+                self.mngr.restore(step, args=ocp.args.StandardRestore(template)),
+                like_step,
             )
         except ValueError as e:
             # a checkpoint written by an older train-state layout (e.g. the
@@ -309,8 +428,11 @@ class Checkpointer:
 
             # the frozen partition comes from DISK, not from state_like: a
             # cross-process resume's state_like may be a fresh random init
-            frozen = ocp.StandardCheckpointer().restore(
-                self._frozen_dir, target=host_template(frozen_like)
+            frozen = decast(
+                ocp.StandardCheckpointer().restore(
+                    self._frozen_dir, target=host_template(frozen_like)
+                ),
+                frozen_like,
             )
             restored = dict(
                 restored, params=combine_params(restored["params"], frozen)
@@ -364,6 +486,7 @@ class Trainer:
             os.path.join(out_dir, "ckpt"),
             async_save=train_cfg.async_checkpointing,
             async_mode=train_cfg.async_checkpoint_mode,
+            transport_dtype=train_cfg.checkpoint_transport_dtype,
         )
 
     # -- setup ---------------------------------------------------------------

@@ -62,6 +62,13 @@ def main():
                          "snapshot, pull AND write in the background (costs "
                          "transient HBM). orbax: orbax's own async save "
                          "(stalls on axon)")
+    ap.add_argument("--ckpt_bf16", action="store_true",
+                    help="lossy bf16 checkpoint transport: fp32 leaves are "
+                         "cast on device before the device->host pull, "
+                         "halving the bytes over the axon tunnel (the pull "
+                         "blocks the loop 409-465 s/save at stage-3 "
+                         "geometry). Restore casts back; dirs are "
+                         "self-describing via transport.json")
     args = ap.parse_args()
 
     from dit4sr_tpu.bootstrap import (
@@ -169,14 +176,16 @@ def main():
             finetune_layer_names=("mmdit_lora",),
         )
 
-    if args.async_ckpt:
+    if args.async_ckpt or args.ckpt_bf16:
         import dataclasses
 
-        train_cfg = dataclasses.replace(
-            train_cfg,
-            async_checkpointing=True,
-            async_checkpoint_mode=args.async_ckpt,
-        )
+        kw = {}
+        if args.async_ckpt:
+            kw.update(async_checkpointing=True,
+                      async_checkpoint_mode=args.async_ckpt)
+        if args.ckpt_bf16:
+            kw.update(checkpoint_transport_dtype="bfloat16")
+        train_cfg = dataclasses.replace(train_cfg, **kw)
 
     out_dir = args.out_dir or os.path.join(
         "runs", os.path.splitext(os.path.basename(args.config))[0]

@@ -403,3 +403,76 @@ def test_partition_aware_checkpointing(tmp_path):
     assert not all(flat_m.values())  # sanity: something IS frozen
     step_dir = os.path.join(str(tmp_path), "ckpt", "4")
     assert tree_bytes(step_dir) < tree_bytes(frozen_dir)
+
+
+@pytest.mark.parametrize("mode", ["sync", "host_staged", "device_staged"])
+def test_bf16_transport_roundtrip(tmp_path, mode):
+    """checkpoint_transport_dtype='bfloat16': fp32 leaves travel as bf16
+    (halving the axon device->host pull) and restore back to fp32 within
+    bf16 tolerance; non-fp32 leaves are untouched exactly."""
+    from dit4sr_tpu.train.trainer import Checkpointer
+
+    trainer, *_ = _mk_trainer(tmp_path, "stage1", with_testr=False)
+    state = trainer.init_state(jax.random.PRNGKey(0), text_len=TEXT_LEN, latent_size=8)
+    snap = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+
+    ckpt = Checkpointer(
+        str(tmp_path / f"ck_{mode}"),
+        async_save=(mode != "sync"),
+        async_mode=mode if mode != "sync" else "host_staged",
+        transport_dtype="bfloat16",
+    )
+    ckpt.save(1, state)
+    ckpt.wait()
+
+    state0 = trainer.init_state(jax.random.PRNGKey(4), text_len=TEXT_LEN, latent_size=8)
+    restored = ckpt.restore(state0)
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree.leaves(snap), jax.tree.leaves(restored.params)):
+        b = np.asarray(b)
+        assert b.dtype == a.dtype  # cast back to the live dtype
+        if a.dtype == np.float32:
+            np.testing.assert_allclose(a, b, rtol=8e-3, atol=1e-6)
+        else:
+            np.testing.assert_array_equal(a, b)
+
+
+def test_bf16_transport_marker_adoption_and_conflict(tmp_path):
+    """A bf16-transport dir is self-describing: a Checkpointer constructed
+    WITHOUT the flag still restores it correctly (marker adoption); and a
+    conflicting dtype on an existing dir raises instead of corrupting."""
+    import os
+
+    from dit4sr_tpu.train.trainer import Checkpointer
+
+    trainer, *_ = _mk_trainer(tmp_path, "stage1", with_testr=False)
+    state = trainer.init_state(jax.random.PRNGKey(0), text_len=TEXT_LEN, latent_size=8)
+    snap = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+
+    ck_dir = str(tmp_path / "ck_marker")
+    Checkpointer(ck_dir, transport_dtype="bfloat16").save(2, state)
+
+    # no flag: the on-disk marker is adopted
+    plain = Checkpointer(ck_dir)
+    assert plain._transport == "bfloat16"
+    restored = plain.restore(
+        trainer.init_state(jax.random.PRNGKey(9), text_len=TEXT_LEN, latent_size=8)
+    )
+    for a, b in zip(jax.tree.leaves(snap), jax.tree.leaves(restored.params)):
+        if a.dtype == np.float32:
+            np.testing.assert_allclose(a, np.asarray(b), rtol=8e-3, atol=1e-6)
+
+    # an exact-fp32 dir cannot be reopened as bf16 mid-run
+    ck_plain = str(tmp_path / "ck_plain")
+    Checkpointer(ck_plain).save(1, state)
+    # (no marker was written for the exact dir, so bf16 reopen writes one —
+    # but a bf16 dir reopened with a DIFFERENT lossy dtype must raise)
+    import json as _json
+    with open(os.path.join(ck_dir, "transport.json")) as f:
+        assert _json.load(f)["dtype"] == "bfloat16"
+    with pytest.raises(ValueError):
+        # simulate a future conflicting dtype against the bf16 marker
+        c = Checkpointer.__new__(Checkpointer)
+        c.dir = ck_dir
+        c._transport = "float16"
+        c._sync_transport_marker()
