@@ -19,6 +19,13 @@ transform, designed for the partitioned train state (train_state.py):
 Quantization error behaves like bnb's: the moments are requantized every
 step, so errors act as a small bounded noise on the EMA, not a drift
 (tests/test_adam8bit.py checks convergence tracks fp32 Adam).
+
+Caveat vs bnb: uint8 sqrt-domain keeps ~2.4 decades of in-block dynamic
+range (vs ~7 for bnb's nonlinear dynamic code). When nu magnitudes within
+one 256-element block span more than that, the small entries round to the
+q=0 bucket; dequantize_sqrt floors them at the bucket midpoint (scale/2)^2
+so their preconditioner stays bounded by 2/blockmax instead of exploding
+to 1/eps.
 """
 
 from __future__ import annotations
@@ -61,7 +68,16 @@ def quantize_sqrt(x: jnp.ndarray, block: int):
 
 
 def dequantize_sqrt(q: jnp.ndarray, scale: jnp.ndarray, like: jnp.ndarray):
-    root = (q.astype(jnp.float32) * scale[:, None]).reshape(-1)
+    """Inverse of quantize_sqrt, floored at the block quantization bound:
+    an entry with sqrt(nu) < blockmax/510 rounds to q=0 and would otherwise
+    dequantize to exactly 0, turning its preconditioner into 1/eps (1e8) and
+    inflating that coordinate's next update whenever magnitudes within one
+    block span >~2.7 decades (bnb's nonlinear dynamic code keeps ~7 decades;
+    the sqrt domain alone keeps ~2.4). Flooring the root at scale/2 — the
+    midpoint of the q=0 bucket — bounds the preconditioner by 2/blockmax
+    instead. Fresh blocks (scale == 0) still dequantize to 0."""
+    root = (q.astype(jnp.float32) * scale[:, None])
+    root = jnp.maximum(root, scale[:, None] * 0.5).reshape(-1)
     return jnp.square(root[: like.size]).reshape(like.shape)
 
 

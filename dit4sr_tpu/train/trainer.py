@@ -67,6 +67,19 @@ class MetricLogger:
             self.wandb.log(record, step=step)
 
 
+# device_staged snapshot programs, hoisted to module level so jax.jit's
+# identity-keyed cache reuses the compiled program across save() calls
+# (a fresh lambda per save retraces + recompiles the whole-tree copy each
+# checkpoint — avoidable latency at stage-3 geometry)
+_snapshot_copy = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+_snapshot_cast_bf16 = jax.jit(
+    lambda t: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else jnp.copy(x),
+        t,
+    )
+)
+
+
 class Checkpointer:
     """Orbax checkpointing of the FULL train state with step resume.
 
@@ -173,12 +186,19 @@ class Checkpointer:
             # work even when the flag isn't passed
             self._transport = on_disk
         elif self._transport:
-            has_steps = any(d.isdigit() for d in os.listdir(self.dir))
-            if has_steps:
+            # a frozen/ partition without a marker counts as fp32 data too:
+            # a prior markerless run may have written only the frozen
+            # partition before dying, and restoring those fp32 arrays
+            # through a bf16 template would be silently lossy
+            has_fp32_data = any(d.isdigit() for d in os.listdir(self.dir)) or (
+                os.path.exists(self._frozen_dir)
+            )
+            if has_fp32_data:
                 raise ValueError(
                     f"checkpoint dir {self.dir} already holds exact-fp32 "
-                    "steps; enabling bf16 transport on it would misread "
-                    "them on restore — use a fresh dir"
+                    "data (steps or a frozen partition); enabling bf16 "
+                    "transport on it would misread them on restore — use "
+                    "a fresh dir"
                 )
             with open(self._marker_path, "w") as f:
                 json.dump({"dtype": self._transport}, f)
@@ -250,7 +270,18 @@ class Checkpointer:
 
         for j, x in enumerate(leaves):
             if not hasattr(x, "copy_to_host_async"):
-                out[j] = np.asarray(x) if hasattr(x, "shape") else x
+                # host-resident leaves follow the same on-disk dtype
+                # contract as device leaves: fp32 narrows to bf16 so
+                # restore's uniform bf16-for-fp32 template matches
+                if hasattr(x, "shape"):
+                    a = np.asarray(x)
+                    if a.dtype == np.float32:
+                        import ml_dtypes
+
+                        a = a.astype(ml_dtypes.bfloat16)
+                    out[j] = a
+                else:
+                    out[j] = x
                 continue
             # the cast reads the live buffer before any later donation can
             # reuse it (device execution is in-order — same argument as the
@@ -317,17 +348,7 @@ class Checkpointer:
             # a consistent state no matter how far training runs ahead.
             # With bf16 transport the snapshot itself is cast — halving
             # both the transient HBM and the background pull.
-            if self._transport:
-                snap = jax.jit(
-                    lambda t: jax.tree.map(
-                        lambda x: x.astype(jnp.bfloat16)
-                        if x.dtype == jnp.float32
-                        else jnp.copy(x),
-                        t,
-                    )
-                )(tree)
-            else:
-                snap = jax.jit(lambda t: jax.tree.map(jnp.copy, t))(tree)
+            snap = (_snapshot_cast_bf16 if self._transport else _snapshot_copy)(tree)
             self._spawn_writer(step, lambda: _write_host(self._pull(snap)))
             return
 

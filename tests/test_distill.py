@@ -22,6 +22,8 @@ from dit4sr_tpu.train.distill import (
 )
 from dit4sr_tpu.train.train_step import Batch, TrainState
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def setup():

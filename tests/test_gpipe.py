@@ -17,6 +17,8 @@ from dit4sr_tpu.parallel.pipeline import (
     stack_block_params,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def _toy_stack(rng, L, d):
     ws = rng.normal(size=(L, d, d)).astype(np.float32) * 0.3

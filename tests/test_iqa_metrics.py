@@ -102,6 +102,7 @@ def _dists_torch(sd, a, b):
     return (1 - (d1 + d2)).squeeze(-1).squeeze(-1).squeeze(-1)
 
 
+@pytest.mark.slow
 def test_dists_matches_torch_oracle():
     rng = np.random.default_rng(0)
     sd = _dists_torch_sd(rng)
@@ -232,6 +233,7 @@ def _clip_visual_torch(sd, x, blocks=(3, 4, 6, 3), heads=32):
     return out[0]
 
 
+@pytest.mark.slow
 def test_clipiqa_matches_torch_oracle():
     rng = np.random.default_rng(0)
     sd = _clip_visual_torch_sd(rng)
@@ -261,6 +263,7 @@ def test_clipiqa_arbitrary_size_runs():
     assert s.shape == (2,) and np.all((s >= 0) & (s <= 1))
 
 
+@pytest.mark.slow
 def test_clip_text_encoder_matches_torch_oracle():
     """Flax CLIP text transformer vs torch functional oracle (tiny geometry
     via real layout keys: 2 layers, width 64, 4 heads... width must divide 8
@@ -393,6 +396,7 @@ def _maniqa_timm_sd(rng):
     return sd
 
 
+@pytest.mark.slow
 def test_maniqa_vit_matches_torch_oracle():
     """Flax ViT-B/8 feature extraction vs a functional torch oracle in the
     timm layout (checks both arch and converter)."""

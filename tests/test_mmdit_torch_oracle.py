@@ -32,6 +32,9 @@ from dit4sr_tpu.config import MMDiTConfig, mmdit_tiny
 from dit4sr_tpu.models.embeddings import sincos_2d
 from dit4sr_tpu.models.mmdit import MMDiT
 from dit4sr_tpu.utils import weights as W
+import pytest
+
+pytestmark = pytest.mark.slow
 
 CFG_TINY = mmdit_tiny(sample_size=8, pos_embed_max_size=8)
 

@@ -151,6 +151,7 @@ def test_matlab_imresize_parity():
 @pytest.mark.skipif(
     not niqe_available(), reason="reference basicsr checkout not present"
 )
+@pytest.mark.slow
 def test_niqe_parity_vs_basicsr():
     """Value parity with the vendored basicsr calculate_niqe (which itself
     matches MATLAB R2021a to 1e-4; basicsr/metrics/niqe.py:150-156). basicsr

@@ -24,6 +24,8 @@ import torch.nn.functional as TF  # noqa: E402
 from dit4sr_tpu.config import TESTRConfig  # noqa: E402
 from dit4sr_tpu.models.testr.model import TESTR  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 B, HW, C_IN, LF = 2, 8, 12, 4
 
 

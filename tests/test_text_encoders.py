@@ -1,5 +1,6 @@
 """Numeric parity of the flax text encoders vs HF torch (random weights)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +16,7 @@ from dit4sr_tpu.text.encoders import (
 )
 
 
+@pytest.mark.slow
 def test_clip_parity_with_hf():
     from transformers import CLIPTextConfig, CLIPTextModelWithProjection
 
@@ -52,6 +54,7 @@ def test_clip_parity_with_hf():
     np.testing.assert_allclose(np.asarray(pooled), ref_pooled, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_t5_parity_with_hf():
     from transformers import T5Config as HFT5Config, T5EncoderModel
 

@@ -18,6 +18,8 @@ from dit4sr_tpu.models.vae import AutoencoderKL
 from dit4sr_tpu.train.trainer import Trainer
 from dit4sr_tpu.train.train_step import TrainState
 
+pytestmark = pytest.mark.slow
+
 B = 2
 IMG = 64          # tiny vae: /8 -> 8x8 latent
 TEXT_LEN = 8

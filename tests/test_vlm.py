@@ -84,6 +84,7 @@ def tiny_vlm_ckpt(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_caption_real_hf_invocation(tiny_vlm_ckpt):
     """End-to-end through AutoProcessor + AutoModelForVision2Seq.generate —
     the exact code path a real LLaVA/Qwen-VL checkpoint takes."""
