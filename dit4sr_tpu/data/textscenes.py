@@ -44,21 +44,30 @@ def _background(rng: np.random.Generator, size: int) -> np.ndarray:
 
 
 def render_scene(
-    rng: np.random.Generator, size: int = 256, num_words: int = 3
-) -> Tuple[np.ndarray, List[str]]:
-    """One (size, size, 3) float32 [0,1] scene + the words placed in it."""
+    rng: np.random.Generator,
+    size: int = 256,
+    num_words: int = 3,
+    min_scale: float = 1.5,
+    max_scale: float = 4.0,
+    rotate_prob: float = 0.3,
+) -> Tuple[np.ndarray, List[Dict]]:
+    """One (size, size, 3) float32 [0,1] scene + per-word instances.
+
+    Each instance is {"word": str, "bbox": (x0, y0, x1, y1) float pixel
+    coords} — the pasted tile rectangle clipped to the canvas. The bbox is
+    the supervision signal the stage-2/3 OCR probe needs: the equivalent of
+    SAMText's polygon annotations (pho_realesrgan_dataset.py:294-328),
+    derived exactly because we place the text ourselves."""
     from PIL import Image, ImageDraw, ImageFont
 
     img = Image.fromarray((_background(rng, size) * 255).astype(np.uint8))
-    draw = ImageDraw.Draw(img)
     font = ImageFont.load_default()
-    words: List[str] = []
+    instances: List[Dict] = []
     for _ in range(num_words):
         word = WORDS[int(rng.integers(len(WORDS)))]
-        words.append(word)
         # render small then paste scaled: load_default has one size, and a
         # resized paste gives the scale variation a real dataset would have
-        scale = float(rng.uniform(1.5, 4.0))
+        scale = float(rng.uniform(min_scale, max_scale))
         pad = 2
         bbox = font.getbbox(word)
         w, h = bbox[2] - bbox[0] + 2 * pad, bbox[3] - bbox[1] + 2 * pad
@@ -68,30 +77,89 @@ def render_scene(
                                   fill=color, font=font)
         tw, th = max(int(w * scale), 1), max(int(h * scale), 1)
         tile = tile.resize((tw, th), Image.BICUBIC)
-        if rng.random() < 0.3:
+        if rng.random() < rotate_prob:
             tile = tile.rotate(float(rng.uniform(-15, 15)), expand=True)
         x = int(rng.integers(0, max(size - tile.width, 1)))
         y = int(rng.integers(0, max(size - tile.height, 1)))
         img.paste(tile, (x, y), tile)
+        instances.append(
+            {
+                "word": word,
+                "bbox": (
+                    float(x),
+                    float(y),
+                    float(min(x + tile.width, size)),
+                    float(min(y + tile.height, size)),
+                ),
+            }
+        )
     arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
-    return arr, words
+    return arr, instances
 
 
 def make_scene_records(
-    n: int, size: int = 256, num_words: int = 3, seed: int = 0
+    n: int,
+    size: int = 256,
+    num_words: int = 3,
+    seed: int = 0,
+    min_scale: float = 1.5,
+    max_scale: float = 4.0,
+    rotate_prob: float = 0.3,
 ) -> List[Dict]:
     """Records shaped like data.satext's (image/text/prompt), enough for the
-    stage-1 trainer path and the probe's eval loop."""
+    stage-1 trainer path and the probe's eval loop. `instances` carries the
+    per-word bboxes for OCR supervision (stage-2/3 probe)."""
     rng = np.random.default_rng(seed)
     records = []
     for i in range(n):
-        img, words = render_scene(rng, size=size, num_words=num_words)
+        img, instances = render_scene(
+            rng, size=size, num_words=num_words,
+            min_scale=min_scale, max_scale=max_scale, rotate_prob=rotate_prob,
+        )
+        words = [inst["word"] for inst in instances]
         records.append(
             {
                 "img_id": f"scene_{seed}_{i:04d}",
                 "image": img,
                 "text": words,
+                "instances": instances,
                 "prompt": '"' + '", "'.join(words) + '".',
             }
         )
     return records
+
+
+def instances_to_ocr_raw(
+    instances: List[Dict], size: int, num_ctrl_points: int, max_text_len: int
+) -> Dict:
+    """Per-scene instances -> the raw ragged target dict that
+    `detector.pad_targets` consumes: labels, normalized cxcywh boxes,
+    normalized control points, charset-encoded texts.
+
+    Control-point convention: Np/2 points evenly spaced along the top edge
+    (left->right) then Np/2 along the bottom edge (left->right) — the probe
+    trains and evaluates with the same convention, so any fixed layout is
+    self-consistent (the reference samples its 16 points from annotated
+    Bezier curves, dataloaders/utils.py; axis-aligned boxes are the exact
+    ground truth here because we placed the words)."""
+    from dit4sr_tpu.data import charset
+
+    n = len(instances)
+    half = num_ctrl_points // 2
+    labels = np.zeros((n,), np.int32)
+    boxes = np.zeros((n, 4), np.float32)
+    pts = np.zeros((n, num_ctrl_points, 2), np.float32)
+    texts = np.zeros((n, max_text_len), np.int32)
+    for i, inst in enumerate(instances):
+        x0, y0, x1, y1 = inst["bbox"]
+        boxes[i] = [
+            (x0 + x1) / 2 / size, (y0 + y1) / 2 / size,
+            (x1 - x0) / size, (y1 - y0) / size,
+        ]
+        xs = np.linspace(x0, x1, half, dtype=np.float32) / size
+        pts[i, :half, 0] = xs
+        pts[i, :half, 1] = y0 / size
+        pts[i, half:, 0] = xs
+        pts[i, half:, 1] = y1 / size
+        texts[i] = charset.encode(inst["word"], max_text_len)
+    return {"labels": labels, "boxes": boxes, "ctrl_points": pts, "texts": texts}

@@ -16,6 +16,7 @@ GroupNorm statistics run in fp32. Latent scaling follows the SD3 convention:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Any, Optional, Tuple
 
 import jax
@@ -25,14 +26,48 @@ from flax import linen as nn
 from dit4sr_tpu.config import VAEConfig
 
 
+# Trace-time tile-sync state for cross-tile GroupNorm statistic aggregation
+# (the reference's vaehook.GroupNormParam, utils/vaehook.py:458-534: every
+# tile of an image normalizes with statistics gathered over ALL its tiles,
+# so tiles cannot drift in tone/contrast). The reference executes tiles in
+# layer-lockstep through a task queue to make this possible; here the tiled
+# VAE already stacks every tile into ONE batched call, so a GroupNorm that
+# pools its statistics over the tile axis reproduces the behavior with no
+# scheduler at all. The flag is consumed at trace time (a static constant of
+# the jitted program), set via the `tile_sync_group_norm` context manager
+# around the traced apply.
+_TILE_SYNC_STACK: list = [1]
+
+
+@contextmanager
+def tile_sync_group_norm(num_tiles: int):
+    """Within this context, group_norm pools statistics over the leading
+    tile axis: inputs are (T*B, H, W, C) stacked tile-major (tile t of image
+    b at row t*B + b, utils/tiling.extract_tiles) and every GroupNorm
+    normalizes image b's tiles with their COMMON mean/var."""
+    _TILE_SYNC_STACK.append(int(num_tiles))
+    try:
+        yield
+    finally:
+        _TILE_SYNC_STACK.pop()
+
+
 def group_norm(x: jnp.ndarray, num_groups: int, scale, bias, eps=1e-6):
-    """GroupNorm over NHWC with fp32 statistics."""
+    """GroupNorm over NHWC with fp32 statistics (optionally pooled across
+    tiles of the same image — see tile_sync_group_norm)."""
     b, h, w, c = x.shape
+    t = _TILE_SYNC_STACK[-1]
     x32 = x.astype(jnp.float32).reshape(b, h, w, num_groups, c // num_groups)
-    mean = jnp.mean(x32, axis=(1, 2, 4), keepdims=True)
-    var = jnp.var(x32, axis=(1, 2, 4), keepdims=True)
-    x32 = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    x32 = x32.reshape(b, h, w, c)
+    if t > 1 and b % t == 0:
+        xt = x32.reshape(t, b // t, h, w, num_groups, c // num_groups)
+        mean = jnp.mean(xt, axis=(0, 2, 3, 5), keepdims=True)
+        var = jnp.var(xt, axis=(0, 2, 3, 5), keepdims=True)
+        xt = (xt - mean) * jax.lax.rsqrt(var + eps)
+        x32 = xt.reshape(b, h, w, c)
+    else:
+        mean = jnp.mean(x32, axis=(1, 2, 4), keepdims=True)
+        var = jnp.var(x32, axis=(1, 2, 4), keepdims=True)
+        x32 = ((x32 - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c)
     return (x32 * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 

@@ -285,3 +285,72 @@ class HashTextEncoder:
             jnp.asarray(np.stack(embeds), jnp.float32),
             jnp.asarray(np.stack(pooled), jnp.float32),
         )
+
+
+class WordHashTextEncoder:
+    """Word-compositional deterministic encoder for zero-asset probes.
+
+    HashTextEncoder hashes the WHOLE prompt, so a held-out word combination
+    maps to an embedding unrelated to anything seen in training — prompt
+    conditioning cannot generalize, which makes it useless for demonstrating
+    the text-aware mechanism (OCR-guided prompt rewriting,
+    pipeline_dit4sr.py:1214-1446). This encoder instead extracts the QUOTED
+    words from the prompt (both `synthesize_prompt` styles quote every word,
+    data/satext.py:84-94) and embeds each word independently from a
+    word-seeded hash: the word "OPEN" contributes the same rows whether it
+    appears in a training or an eval prompt, so the MMDiT can learn
+    word -> glyph associations that transfer. A prompt with no quoted words
+    (the null prompt) maps to all-zero embeddings — a stable learned-null.
+
+    Caching: per-word embeddings are memoized; the per-step prompt re-encode
+    in the OCR-guided loop is then just array assembly.
+    """
+
+    def __init__(
+        self,
+        seq_len: int = 16,
+        joint_dim: int = 256,
+        pooled_dim: int = 128,
+        tokens_per_word: int = 4,
+    ):
+        self.seq_len = seq_len
+        self.joint_dim = joint_dim
+        self.pooled_dim = pooled_dim
+        self.tokens_per_word = tokens_per_word
+        self._cache = {}
+
+    def _word_vecs(self, word: str):
+        got = self._cache.get(word)
+        if got is None:
+            import hashlib
+
+            seed = int.from_bytes(
+                hashlib.sha256(word.encode()).digest()[:4], "little"
+            )
+            rng = np.random.default_rng(seed)
+            got = (
+                rng.normal(size=(self.tokens_per_word, self.joint_dim)).astype(
+                    np.float32
+                ),
+                rng.normal(size=(self.pooled_dim,)).astype(np.float32),
+            )
+            self._cache[word] = got
+        return got
+
+    def __call__(self, prompts):
+        import re
+
+        embeds = np.zeros((len(prompts), self.seq_len, self.joint_dim), np.float32)
+        pooled = np.zeros((len(prompts), self.pooled_dim), np.float32)
+        for b, p in enumerate(prompts):
+            words = re.findall(r'"([^"]+)"', p)
+            vecs = []
+            for w in words:
+                e, pl = self._word_vecs(w)
+                vecs.append(e)
+                pooled[b] += pl
+            if vecs:
+                flat = np.concatenate(vecs, axis=0)[: self.seq_len]
+                embeds[b, : flat.shape[0]] = flat
+                pooled[b] /= len(vecs)
+        return jnp.asarray(embeds), jnp.asarray(pooled)

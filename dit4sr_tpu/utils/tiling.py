@@ -125,20 +125,41 @@ def tiled_vae_decode(
     vae, vae_params, latents: jnp.ndarray, vae_cfg,
     tile: int = 64, overlap: int = 16, chunk: int = 1,
     shard_axis: Optional[str] = None, shard_size: int = 1,
+    gn_sync: bool = False,
 ) -> jnp.ndarray:
     """Decode large latents tile-by-tile (vaehook equivalent). `tile` is in
     latent units (64 latent -> 512 px). With `shard_axis` (inside a mesh)
     the whole tile batch decodes as ONE sharded call — each chip holds
     tiles/n_chips of the activation memory, replacing the host `chunk`
-    memory bound."""
-    from dit4sr_tpu.models.vae import AutoencoderKL, unscale_latent
+    memory bound.
+
+    `gn_sync=True` enables cross-tile GroupNorm statistic aggregation (the
+    reference's vaehook.GroupNormParam, utils/vaehook.py:458-534): every
+    GroupNorm in the decoder pools its statistics over all tiles of the same
+    image, eliminating tile-to-tile tone/contrast drift. Requires all tiles
+    resident in one batched call (the reference's task-queue lockstep has the
+    same memory profile), so it overrides `chunk` and is unsupported on the
+    sharded path (cross-chip GN stats would need a psum; the cyclic tile
+    padding there also double-counts tiles)."""
+    from dit4sr_tpu.models.vae import (
+        AutoencoderKL, tile_sync_group_norm, unscale_latent,
+    )
 
     def decode(z):
         img = vae.apply(vae_params, z.astype(vae_cfg.dtype), method=AutoencoderKL.decode)
         return img.astype(jnp.float32)
 
+    # spatial factor from the config (SD3's 4-block VAE is /8; the quality
+    # probe's 3-block VAE is /4)
+    sc = 2 ** (len(vae_cfg.block_out_channels) - 1)
     z = unscale_latent(latents.astype(vae_cfg.dtype), vae_cfg)
     if shard_axis is not None:
+        if gn_sync:
+            raise NotImplementedError(
+                "gn_sync with a sharded tile batch needs cross-chip GN "
+                "statistics (psum) and non-duplicating padding; use the "
+                "unsharded path for GN-synced decodes"
+            )
         B, H, W, C = z.shape
         if H <= tile and W <= tile:
             img = decode(z)
@@ -146,19 +167,33 @@ def tiled_vae_decode(
             tiles, offs = extract_tiles(z, tile, overlap)
             (tiles,), n = _shard_tile_batch((tiles,), shard_axis, shard_size)
             outs = decode(tiles)[:n]
-            img = stitch_tiles(outs, offs, (H * 8, W * 8), B, scale=8)
+            img = stitch_tiles(outs, offs, (H * sc, W * sc), B, scale=sc)
+    elif gn_sync:
+        B, H, W, C = z.shape
+        if H <= tile and W <= tile:
+            img = decode(z)
+        else:
+            tiles, offs = extract_tiles(z, tile, overlap)
+            with tile_sync_group_norm(len(offs)):
+                outs = decode(tiles)
+            img = stitch_tiles(outs, offs, (H * sc, W * sc), B, scale=sc)
     else:
-        img = tiled_apply(decode, z, tile, overlap, scale=8, chunk=chunk)
+        img = tiled_apply(decode, z, tile, overlap, scale=sc, chunk=chunk)
     return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
 
 
 def tiled_vae_encode(
     vae, vae_params, image: jnp.ndarray, vae_cfg, rng=None,
     tile: int = 512, overlap: int = 128, chunk: int = 1,
+    gn_sync: bool = False,
 ) -> jnp.ndarray:
     """Encode a large [0,1] image tile-by-tile to the scaled latent space.
-    Deterministic (mode) when rng is None; tiles share the rng otherwise."""
-    from dit4sr_tpu.models.vae import AutoencoderKL, sample_latent, scale_latent
+    Deterministic (mode) when rng is None; tiles share the rng otherwise.
+    `gn_sync=True`: cross-tile GroupNorm statistic aggregation in the
+    encoder (all tiles in one batched call — see tiled_vae_decode)."""
+    from dit4sr_tpu.models.vae import (
+        AutoencoderKL, sample_latent, scale_latent, tile_sync_group_norm,
+    )
 
     def encode(img):
         x = img.astype(vae_cfg.dtype) * 2.0 - 1.0
@@ -166,15 +201,20 @@ def tiled_vae_encode(
         z = sample_latent(mean, logvar, rng)
         return scale_latent(z, vae_cfg).astype(jnp.float32)
 
+    sc = 2 ** (len(vae_cfg.block_out_channels) - 1)
     B, H, W, C = image.shape
     if H <= tile and W <= tile:
         return encode(image)
     tiles, offs = extract_tiles(image, tile, overlap)
-    outs = jax.lax.map(encode, tiles.reshape(-1, 1, tile, tile, C)).reshape(
-        -1, tile // 8, tile // 8, vae_cfg.latent_channels
-    )
-    offs8 = [(i // 8, j // 8) for i, j in offs]
-    return stitch_tiles(outs, offs8, (H // 8, W // 8), B)
+    if gn_sync:
+        with tile_sync_group_norm(len(offs)):
+            outs = encode(tiles)
+    else:
+        outs = jax.lax.map(encode, tiles.reshape(-1, 1, tile, tile, C)).reshape(
+            -1, tile // sc, tile // sc, vae_cfg.latent_channels
+        )
+    offs_l = [(i // sc, j // sc) for i, j in offs]
+    return stitch_tiles(outs, offs_l, (H // sc, W // sc), B)
 
 
 def _shard_tile_batch(arrs, shard_axis: str, shard_size: int):

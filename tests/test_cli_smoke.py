@@ -310,3 +310,24 @@ def test_quality_probe_cli_smoke(tmp_path):
     for k in ("psnr_sr", "psnr_lq", "ssim_sr", "ssim_lq", "psnr_vae_ceiling"):
         assert k in agg and agg[k] == agg[k]  # present and not NaN
     assert len(m["per_image"]) == 2
+
+
+def test_quality_probe_ocr_cli_smoke(tmp_path):
+    """The stage-2/3 OCR probe (VAE -> stage1 -> stage2 TESTR -> stage3 joint
+    -> A/B/C sampling incl. the OCR-guided TSM loop -> metrics.json) must run
+    end to end at smoke size."""
+    import json
+
+    out = tmp_path / "qprobe_ocr"
+    r = _run(
+        ["scripts/quality_probe_ocr.py", "--smoke", "--out_dir", str(out)],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "SMOKE-OK" in r.stdout
+    m = json.loads((out / "metrics.json").read_text())
+    agg = m["aggregate"]
+    for variant in ("A_null", "B_tsm", "C_oracle", "LQ"):
+        assert "psnr" in agg[variant] and agg[variant]["psnr"] == agg[variant]["psnr"]
+    assert "word_f1_snapped" in agg
+    assert len(m["words"]) == 2

@@ -162,3 +162,48 @@ def test_shard_tile_batch_pads_beyond_n():
     np.testing.assert_array_equal(
         np.asarray(out), np.asarray(a)[np.arange(8) % 3]
     )
+
+
+def test_gn_sync_reduces_tiled_decode_error():
+    """Cross-tile GroupNorm aggregation (gn_sync, vaehook.py:458-534
+    equivalent): pooling GN statistics over all tiles of an image must bring
+    the tiled decode strictly closer to the untiled decode than independent
+    per-tile statistics do — on ANY weights, because the untiled decode's GN
+    stats are exactly the global stats gn_sync approximates (up to overlap
+    double-counting), while per-tile stats are biased by tile content."""
+    cfg = vae_tiny()
+    vae = AutoencoderKL(cfg)
+    params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), cfg.dtype))
+    # structured latent (strong low-frequency content so per-tile stats are
+    # genuinely biased, as in real images)
+    rng = np.random.default_rng(1)
+    yy, xx = np.mgrid[0:16, 0:16].astype(np.float32) / 16
+    z = (
+        np.sin(yy * 4)[None, :, :, None] * 2.0
+        + rng.normal(size=(1, 16, 16, cfg.latent_channels)).astype(np.float32) * 0.3
+    )
+    z = jnp.asarray(z * np.float32(cfg.scaling_factor))
+
+    untiled = tiled_vae_decode(vae, params, z, cfg, tile=16, overlap=0)
+    plain = tiled_vae_decode(vae, params, z, cfg, tile=8, overlap=4)
+    synced = tiled_vae_decode(vae, params, z, cfg, tile=8, overlap=4, gn_sync=True)
+
+    err_plain = float(jnp.abs(plain - untiled).mean())
+    err_sync = float(jnp.abs(synced - untiled).mean())
+    assert np.isfinite(err_sync)
+    assert err_sync < err_plain, (err_sync, err_plain)
+
+    # determinism of the synced path
+    synced2 = tiled_vae_decode(vae, params, z, cfg, tile=8, overlap=4, gn_sync=True)
+    np.testing.assert_array_equal(np.asarray(synced), np.asarray(synced2))
+
+
+def test_gn_sync_encode_runs_and_is_close():
+    cfg = vae_tiny()
+    vae = AutoencoderKL(cfg)
+    params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), cfg.dtype))
+    img = jnp.asarray(np.random.default_rng(2).uniform(size=(1, 64, 64, 3)), jnp.float32)
+    z_plain = tiled_vae_encode(vae, params, img, cfg, tile=32, overlap=16)
+    z_sync = tiled_vae_encode(vae, params, img, cfg, tile=32, overlap=16, gn_sync=True)
+    assert z_sync.shape == z_plain.shape
+    assert np.isfinite(np.asarray(z_sync)).all()
