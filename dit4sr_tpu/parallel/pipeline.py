@@ -16,11 +16,24 @@ one device. This module adds pipeline parallelism the TPU way:
     training step.
 
 `mmdit_pipeline_forward` wires this into the MMDiT: embed and output heads
-run replicated, the homogeneous interior blocks run through the pipe. The
-flagship SD3.5-medium config has heterogeneous dual-attention blocks at
-layers 0-12 (transformer_sd3.py:63-114), so whole-model pipelining applies
-to configs with uniform blocks (`dual_attention_layers=()`); the engine
-itself is model-agnostic.
+run replicated, the interior blocks run through the pipe. The flagship
+SD3.5-medium config has heterogeneous dual-attention blocks at layers 0-12
+(transformer_sd3.py:63-114); heterogeneity is handled by HOMOGENIZING the
+stack instead of special-casing stages:
+
+  * a plain block's params embed exactly into the dual-attention structure —
+    AdaLayerNormZeroX's 9 modulation chunks are AdaLayerNormZero's 6 plus
+    (shift2, scale2, gate2) appended (models/norms.py:61,83), so zero-padding
+    the norm1 kernel columns and zeroing attn2 gives gate_msa2 = 0 and the
+    dual math degenerates to the plain block bit-for-bit;
+  * a per-layer `use_dual` flag dispatches `lax.cond` between the real dual
+    block and a plain block that slices the padded norm1 back down — so the
+    zero attn2 is never computed, only stored (cond executes one branch);
+  * an all-zero JointBlock is an exact identity (every AdaLN gate is zero),
+    so the stack zero-pads to a multiple of the stage count for free.
+
+The padding/slicing happens inside the differentiable path, so gradients
+come out on the ORIGINAL per-layer param shapes.
 """
 
 from __future__ import annotations
@@ -154,20 +167,17 @@ def mmdit_pipeline_forward(
 
     Embedding (PatchEmbed / TimeTextEmbed / context_embedder) and the output
     head (final context_pre_only block, norm_out, proj_out, unpatchify) run
-    replicated; they are a small fraction of the FLOPs. Requires a uniform
-    interior block stack (`dual_attention_layers=()`) and no feature
-    extraction (TESTR training composes with dp/fsdp/tensor instead).
+    replicated; they are a small fraction of the FLOPs. Dual-attention
+    layers (the flagship's 0-12, transformer_sd3.py:63-114) are supported by
+    homogenizing the stack (see module docstring): plain layers are
+    zero-padded into the dual param structure and a per-layer flag `cond`s
+    between the two block forms. No feature extraction (TESTR training
+    composes with dp/fsdp/tensor instead).
     """
     from dit4sr_tpu.models.embeddings import PatchEmbed, TimeTextEmbed, unpatchify
     from dit4sr_tpu.models.mmdit import JointBlock
     from dit4sr_tpu.models.norms import AdaLayerNormContinuous
 
-    if cfg.dual_attention_layers:
-        raise ValueError(
-            "pipelined forward needs a homogeneous block stack "
-            "(dual_attention_layers=()); the flagship dual-attention config "
-            "shards over data/fsdp/tensor/seq instead"
-        )
     p = params["params"]
     B, H, W, _ = hidden_states.shape
     h, w = H // cfg.patch_size, W // cfg.patch_size
@@ -196,19 +206,94 @@ def mmdit_pipeline_forward(
         cfg.caption_projection_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype
     ).apply({"params": p["context_embedder"]}, text_embeds)
 
-    interior = stack_block_params(
-        [p[f"blocks_{i}"] for i in range(cfg.num_layers - 1)]
-    )
-    block = JointBlock(cfg, use_dual_attention=False, context_pre_only=False)
+    L = cfg.num_layers - 1          # interior; the pre-only block replicates
+    dual_set = set(cfg.dual_attention_layers)
+    if (cfg.num_layers - 1) in dual_set:
+        raise ValueError(
+            "the final (context_pre_only) block cannot be dual-attention "
+            "(SD3.5 never is; transformer_sd3.py:63-114)"
+        )
+    D = cfg.inner_dim
 
-    def block_fn(layer_params, act):
-        sx, tx, te = act
-        sx, tx = block.apply({"params": layer_params}, sx, tx, te)
-        return (sx, tx, te)
+    def pad_plain(lp, tmpl_attn2):
+        """Embed a plain block's params into the dual structure: zero-pad
+        norm1's 6->9 modulation chunks and zero attn2 (gate_msa2 = 0 makes
+        the dual math reproduce the plain block exactly)."""
+        lp = dict(lp)
+        lin = lp["norm1"]["linear"]
+        lp["norm1"] = {"linear": {
+            "kernel": jnp.pad(lin["kernel"], ((0, 0), (0, 3 * D))),
+            "bias": jnp.pad(lin["bias"], ((0, 3 * D),)),
+        }}
+        lp["attn2"] = jax.tree.map(jnp.zeros_like, tmpl_attn2)
+        return lp
+
+    def strip_pad(lp):
+        """Slice a padded layer back to the plain structure (differentiable;
+        the adjoint routes grads onto the original 6-chunk params)."""
+        lp = dict(lp)
+        lin = lp["norm1"]["linear"]
+        lp["norm1"] = {"linear": {
+            "kernel": lin["kernel"][:, : 6 * D], "bias": lin["bias"][: 6 * D],
+        }}
+        lp.pop("attn2")
+        return lp
+
+    mixed = bool(dual_set) and len(dual_set) < L
+    if mixed:
+        tmpl_attn2 = p[f"blocks_{next(iter(sorted(dual_set)))}"]["attn2"]
+        stack = [
+            p[f"blocks_{i}"] if i in dual_set
+            else pad_plain(p[f"blocks_{i}"], tmpl_attn2)
+            for i in range(L)
+        ]
+    else:
+        stack = [p[f"blocks_{i}"] for i in range(L)]
+    interior = stack_block_params(stack)
+    flags = jnp.asarray([i in dual_set for i in range(L)])
+
+    # an all-zero JointBlock is an exact identity (every AdaLN gate is 0),
+    # so zero-padding the stack satisfies gpipe's L % S == 0 for any L
+    S = mesh.shape["pipe"]
+    n_pad = (-L) % S
+    if n_pad:
+        interior = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((n_pad,) + a.shape[1:], a.dtype)]
+            ),
+            interior,
+        )
+        flags = jnp.concatenate([flags, jnp.zeros((n_pad,), flags.dtype)])
+
+    dual_block = JointBlock(cfg, use_dual_attention=True, context_pre_only=False)
+    plain_block = JointBlock(cfg, use_dual_attention=False, context_pre_only=False)
+
+    if mixed:
+        def block_fn(layer_params, act):
+            flag, lp = layer_params
+            sx, tx, te = act
+            sx, tx = jax.lax.cond(
+                flag,
+                lambda _: dual_block.apply({"params": lp}, sx, tx, te),
+                lambda _: plain_block.apply({"params": strip_pad(lp)}, sx, tx, te),
+                None,
+            )
+            return (sx, tx, te)
+
+        stacked = (flags, interior)
+    else:
+        one_block = dual_block if dual_set else plain_block
+
+        def block_fn(layer_params, act):
+            sx, tx, te = act
+            sx, tx = one_block.apply({"params": layer_params}, sx, tx, te)
+            return (sx, tx, te)
+
+        stacked = interior
 
     stream_x, text_x, _ = gpipe(
         block_fn,
-        interior,
+        stacked,
         (stream_x, text_x, temb),
         mesh,
         num_microbatches=num_microbatches,

@@ -169,18 +169,82 @@ def test_mmdit_pipeline_grad_flows():
             )
 
 
-def test_mmdit_pipeline_rejects_dual_attention():
-    cfg = mmdit_tiny(num_layers=3, dual_attention_layers=(0,))
+def _pipeline_inputs(cfg, B=4, seed=2):
+    rng = np.random.default_rng(seed)
+    return (
+        jnp.asarray(rng.normal(size=(B, 16, 16, cfg.in_channels)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(B, 16, 16, cfg.in_channels)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(B, 12, cfg.joint_attention_dim)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(B, cfg.pooled_projection_dim)).astype(np.float32)),
+        jnp.full((B,), 500.0, jnp.float32),
+    )
+
+
+@pytest.mark.parametrize(
+    "num_layers,dual",
+    [
+        (5, (0, 1)),        # flagship pattern: dual prefix, interior L=4 = S
+        (6, (0, 1, 2)),     # interior L=5, NOT divisible by S=4 -> zero-pad
+    ],
+)
+def test_mmdit_pipeline_heterogeneous_parity(num_layers, dual):
+    """The flagship SD3.5 block pattern (dual-attention prefix,
+    transformer_sd3.py:63-114) must pipeline exactly: plain layers embed
+    into the dual structure with zero padding, layer count pads to the
+    stage multiple with identity (all-zero) blocks."""
+    cfg = mmdit_tiny(
+        num_layers=num_layers, dual_attention_layers=dual,
+        feat_extract_layers=(),
+    )
     model, params = init_mmdit(jax.random.PRNGKey(0), cfg, text_len=12)
     mesh = make_mesh(MeshConfig(pipe=4), jax.devices()[:4])
-    with pytest.raises(ValueError, match="homogeneous"):
-        mmdit_pipeline_forward(
-            cfg, params,
-            jnp.zeros((4, 16, 16, cfg.in_channels)),
-            jnp.zeros((4, 16, 16, cfg.in_channels)),
-            jnp.zeros((4, 12, cfg.joint_attention_dim)),
-            jnp.zeros((4, cfg.pooled_projection_dim)),
-            jnp.zeros((4,)),
-            mesh,
-            num_microbatches=2,
-        )
+    latent, control, text, pooled, t = _pipeline_inputs(cfg)
+
+    want, _ = model.apply(params, latent, control, text, pooled, t)
+    with mesh:
+        got = jax.jit(
+            lambda p: mmdit_pipeline_forward(
+                cfg, p, latent, control, text, pooled, t, mesh,
+                num_microbatches=2,
+            )
+        )(params)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-5, rtol=1e-5
+    )
+
+
+def test_mmdit_pipeline_heterogeneous_grads():
+    """Gradients through the homogenized stack must land on the ORIGINAL
+    param shapes (the pad/slice adjoints route them back) and match the
+    unpipelined model for both block kinds."""
+    cfg = mmdit_tiny(
+        num_layers=5, dual_attention_layers=(0, 1), feat_extract_layers=()
+    )
+    model, params = init_mmdit(jax.random.PRNGKey(0), cfg, text_len=12)
+    mesh = make_mesh(MeshConfig(pipe=4), jax.devices()[:4])
+    latent, control, text, pooled, t = _pipeline_inputs(cfg)
+
+    def loss_pipe(p):
+        with mesh:
+            out = mmdit_pipeline_forward(
+                cfg, p, latent, control, text, pooled, t, mesh,
+                num_microbatches=2,
+            )
+        return jnp.mean(out**2)
+
+    def loss_seq(p):
+        out, _ = model.apply(p, latent, control, text, pooled, t)
+        return jnp.mean(out**2)
+
+    g_pipe = jax.jit(jax.grad(loss_pipe))(params)
+    g_seq = jax.grad(loss_seq)(params)
+    # blocks_1 is dual, blocks_2 plain-in-padded-form, head replicated
+    for path in ("blocks_1", "blocks_2", "proj_out"):
+        gp = jax.tree.leaves(g_pipe["params"][path])
+        gs = jax.tree.leaves(g_seq["params"][path])
+        assert len(gp) == len(gs)
+        for a, b in zip(gp, gs):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4
+            )
