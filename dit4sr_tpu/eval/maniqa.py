@@ -20,9 +20,11 @@ under `vit.`, TABlock/conv/swin/fc heads at the top level) into one .npz.
 `make_maniqa(path)` resizes inputs bicubically to 224 and returns (B,)
 scores (higher = better). Inputs NHWC in [0, 1], normalized by 0.5/0.5.
 
-Fidelity note: value parity vs the torch original is pending real weights
-(none ship in this environment); the backbone is oracle-tested below ViT
-semantics, the rest is shape/behavior-tested.
+Fidelity note: the FULL score path (ViT backbone, TABlocks, both swin
+stages, dual-branch head) and the converter are validated against a
+functional torch oracle in the official checkpoint layout
+(tests/test_iqa_metrics.py::test_maniqa_full_matches_torch_oracle);
+real released weights don't ship in this environment.
 """
 
 from __future__ import annotations
@@ -105,7 +107,9 @@ def _window_block(p: Dict, pre: str, x: jnp.ndarray, shift: int) -> jnp.ndarray:
     heads = _SWIN_HEADS
     hd = C // heads
     res = x
-    y = _ln(x, p[f"{pre}_ln1_g"], p[f"{pre}_ln1_b"])
+    # eps 1e-5: MANIQA's swin stages use nn.LayerNorm defaults (the ViT
+    # backbone uses timm's explicit 1e-6)
+    y = _ln(x, p[f"{pre}_ln1_g"], p[f"{pre}_ln1_b"], eps=1e-5)
     if shift:
         y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
     y = y.reshape(B, H // w, w, W // w, w, C).transpose(0, 1, 3, 2, 4, 5)
@@ -126,7 +130,7 @@ def _window_block(p: Dict, pre: str, x: jnp.ndarray, shift: int) -> jnp.ndarray:
     if shift:
         o = jnp.roll(o, (shift, shift), axis=(1, 2))
     x = res + o
-    y = _ln(x, p[f"{pre}_ln2_g"], p[f"{pre}_ln2_b"])
+    y = _ln(x, p[f"{pre}_ln2_g"], p[f"{pre}_ln2_b"], eps=1e-5)
     y = jax.nn.gelu(y @ p[f"{pre}_fc1_w"].T + p[f"{pre}_fc1_b"], approximate=False)
     return x + (y @ p[f"{pre}_fc2_w"].T + p[f"{pre}_fc2_b"])
 

@@ -19,9 +19,10 @@ budget so the whole metric jits once (patch masks carry validity through
 the transformer softmax).
 
 Weights: `convert_musiq_torch` maps a torch port's state dict into one
-.npz (best-effort key map, shape-checked; revalidate on real weights —
-none ship in this environment). Inputs NHWC in [0, 1]; returns (B,)
-MOS-scale scores (higher = better).
+.npz; the arch + converter are validated end-to-end against a functional
+torch oracle (tests/test_iqa_metrics.py::test_musiq_matches_torch_oracle;
+real released weights don't ship in this environment). Inputs NHWC in
+[0, 1]; returns (B,) MOS-scale scores (higher = better).
 """
 
 from __future__ import annotations
@@ -183,10 +184,18 @@ def _lnorm(x, g, b, eps=1e-6):
     return (x - m) / jnp.sqrt(v + eps) * g + b
 
 
-def convert_musiq_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """Best-effort key map from a torch MUSIQ port. Conv weights OIHW ->
-    HWIO; linear (out,in) kept torch-style (we apply `.T`). Raises with the
-    unmatched key list if the layout differs — revalidate on real weights."""
+def convert_musiq_torch(
+    sd: Mapping[str, np.ndarray], embed_order: str = "hwc"
+) -> Dict[str, np.ndarray]:
+    """Key map from a torch MUSIQ port (oracle-tested end to end in
+    tests/test_iqa_metrics.py::test_musiq_matches_torch_oracle). Conv
+    weights OIHW -> HWIO; linear (out,in) kept torch-style (we apply `.T`).
+    Raises with the unmatched key list if the layout differs.
+
+    embed_order: input-feature ordering of the patch-embedding Linear.
+    "hwc" (default) = the official TF/JAX flatten order (h, w, c); "chw" =
+    a port that flattens the NCHW conv output directly — the weight's
+    input axis is permuted to our (h, w, c) flatten."""
     ours = random_musiq_params(np.random.default_rng(0))
     name_map = {
         "root_conv_w": "conv_root.weight",
@@ -224,6 +233,9 @@ def convert_musiq_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
            (ok.startswith("b1_conv")):
             w = np.ascontiguousarray(w.transpose(2, 3, 1, 0))
         if ok == "embed_w":
+            if embed_order == "chw":
+                c4 = _BOT_CH * 4
+                w = w.reshape(_D, c4, 4, 4).transpose(0, 2, 3, 1).reshape(_D, _ENC_OUT)
             w = np.ascontiguousarray(w.T)  # torch Linear (out,in) -> (in,out)
         if ok == "cls":
             w = w.reshape(1, _D)

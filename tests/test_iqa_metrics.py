@@ -396,6 +396,39 @@ def _maniqa_timm_sd(rng):
     return sd
 
 
+def _maniqa_vit_torch(sd, x):
+    """Torch ViT-B/8 feature oracle (timm layout); x NHWC np in [0,1].
+    Returns (B, 784, 3072) torch tensor (blocks 6-9 concatenated)."""
+    E = 768
+    h = (torch.tensor(x.transpose(0, 3, 1, 2)) - 0.5) / 0.5
+    h = F.conv2d(h, torch.tensor(sd["vit.patch_embed.proj.weight"]),
+                 torch.tensor(sd["vit.patch_embed.proj.bias"]), stride=8)
+    h = h.flatten(2).transpose(1, 2)
+    cls = torch.tensor(sd["vit.cls_token"]).expand(h.shape[0], -1, -1)
+    h = torch.cat([cls, h], 1) + torch.tensor(sd["vit.pos_embed"])
+    feats = []
+    for i in range(12):
+        tp = f"vit.blocks.{i}"
+        y = F.layer_norm(h, (E,), torch.tensor(sd[f"{tp}.norm1.weight"]),
+                         torch.tensor(sd[f"{tp}.norm1.bias"]), eps=1e-6)
+        qkv = y @ torch.tensor(sd[f"{tp}.attn.qkv.weight"]).t() + torch.tensor(sd[f"{tp}.attn.qkv.bias"])
+        q, k, v = qkv.chunk(3, -1)
+        B, T = q.shape[:2]
+        q = q.view(B, T, 12, 64).transpose(1, 2)
+        k = k.view(B, T, 12, 64).transpose(1, 2)
+        v = v.view(B, T, 12, 64).transpose(1, 2)
+        a = ((q @ k.transpose(-2, -1)) / 8.0).softmax(-1)
+        o = (a @ v).transpose(1, 2).reshape(B, T, E)
+        h = h + (o @ torch.tensor(sd[f"{tp}.attn.proj.weight"]).t() + torch.tensor(sd[f"{tp}.attn.proj.bias"]))
+        y = F.layer_norm(h, (E,), torch.tensor(sd[f"{tp}.norm2.weight"]),
+                         torch.tensor(sd[f"{tp}.norm2.bias"]), eps=1e-6)
+        y = F.gelu(y @ torch.tensor(sd[f"{tp}.mlp.fc1.weight"]).t() + torch.tensor(sd[f"{tp}.mlp.fc1.bias"]))
+        h = h + (y @ torch.tensor(sd[f"{tp}.mlp.fc2.weight"]).t() + torch.tensor(sd[f"{tp}.mlp.fc2.bias"]))
+        if i in (6, 7, 8, 9):
+            feats.append(h[:, 1:])
+    return torch.cat(feats, -1)
+
+
 @pytest.mark.slow
 def test_maniqa_vit_matches_torch_oracle():
     """Flax ViT-B/8 feature extraction vs a functional torch oracle in the
@@ -409,34 +442,101 @@ def test_maniqa_vit_matches_torch_oracle():
     ours = np.asarray(vit_features(params, jnp.asarray(x)))
 
     with torch.no_grad():
-        E = 768
-        h = (torch.tensor(x.transpose(0, 3, 1, 2)) - 0.5) / 0.5
-        h = F.conv2d(h, torch.tensor(sd["vit.patch_embed.proj.weight"]),
-                     torch.tensor(sd["vit.patch_embed.proj.bias"]), stride=8)
-        h = h.flatten(2).transpose(1, 2)
-        cls = torch.tensor(sd["vit.cls_token"]).expand(1, -1, -1)
-        h = torch.cat([cls, h], 1) + torch.tensor(sd["vit.pos_embed"])
-        feats = []
-        for i in range(12):
-            tp = f"vit.blocks.{i}"
-            y = F.layer_norm(h, (E,), torch.tensor(sd[f"{tp}.norm1.weight"]),
-                             torch.tensor(sd[f"{tp}.norm1.bias"]), eps=1e-6)
-            qkv = y @ torch.tensor(sd[f"{tp}.attn.qkv.weight"]).t() + torch.tensor(sd[f"{tp}.attn.qkv.bias"])
-            q, k, v = qkv.chunk(3, -1)
-            B, T = q.shape[:2]
-            q = q.view(B, T, 12, 64).transpose(1, 2)
-            k = k.view(B, T, 12, 64).transpose(1, 2)
-            v = v.view(B, T, 12, 64).transpose(1, 2)
-            a = ((q @ k.transpose(-2, -1)) / 8.0).softmax(-1)
-            o = (a @ v).transpose(1, 2).reshape(B, T, E)
-            h = h + (o @ torch.tensor(sd[f"{tp}.attn.proj.weight"]).t() + torch.tensor(sd[f"{tp}.attn.proj.bias"]))
-            y = F.layer_norm(h, (E,), torch.tensor(sd[f"{tp}.norm2.weight"]),
-                             torch.tensor(sd[f"{tp}.norm2.bias"]), eps=1e-6)
-            y = F.gelu(y @ torch.tensor(sd[f"{tp}.mlp.fc1.weight"]).t() + torch.tensor(sd[f"{tp}.mlp.fc1.bias"]))
-            h = h + (y @ torch.tensor(sd[f"{tp}.mlp.fc2.weight"]).t() + torch.tensor(sd[f"{tp}.mlp.fc2.bias"]))
-            if i in (6, 7, 8, 9):
-                feats.append(h[:, 1:])
-        ref = torch.cat(feats, -1).numpy()
+        ref = _maniqa_vit_torch(sd, x).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+
+
+def _maniqa_tablock_t(sd, tp, x):
+    """Official TABlock: transposed attention over channels; x (B, C, N).
+    Replicates the (attn@v).transpose(1,2).reshape(B,C,N) quirk."""
+    B, C, N = x.shape
+    q = x @ torch.tensor(sd[f"{tp}.c_q.weight"]).t() + torch.tensor(sd[f"{tp}.c_q.bias"])
+    k = x @ torch.tensor(sd[f"{tp}.c_k.weight"]).t() + torch.tensor(sd[f"{tp}.c_k.bias"])
+    v = x @ torch.tensor(sd[f"{tp}.c_v.weight"]).t() + torch.tensor(sd[f"{tp}.c_v.bias"])
+    attn = ((q @ k.transpose(-2, -1)) * N ** -0.5).softmax(-1)
+    out = (attn @ v).transpose(1, 2).reshape(B, C, N)
+    return out + x
+
+
+def _maniqa_swin_t(sd, tp, x, shift, heads=4, win=4):
+    """MANIQA swin stage block: window attention with relative position
+    bias, fixed scale 0.8, cyclic shift (periodic, no border mask),
+    nn.LayerNorm default eps 1e-5. x (B, H, W, C)."""
+    B, H, W, C = x.shape
+    hd = C // heads
+    res = x
+    y = F.layer_norm(x, (C,), torch.tensor(sd[f"{tp}.norm1.weight"]),
+                     torch.tensor(sd[f"{tp}.norm1.bias"]), eps=1e-5)
+    if shift:
+        y = torch.roll(y, (-shift, -shift), dims=(1, 2))
+    y = y.view(B, H // win, win, W // win, win, C).permute(0, 1, 3, 2, 4, 5)
+    y = y.reshape(-1, win * win, C)
+    qkv = y @ torch.tensor(sd[f"{tp}.attn.qkv.weight"]).t() + torch.tensor(sd[f"{tp}.attn.qkv.bias"])
+    q, k, v = qkv.chunk(3, -1)
+    nw = y.shape[0]
+    q = q.view(nw, win * win, heads, hd).transpose(1, 2)
+    k = k.view(nw, win * win, heads, hd).transpose(1, 2)
+    v = v.view(nw, win * win, heads, hd).transpose(1, 2)
+    coords = np.stack(np.meshgrid(np.arange(win), np.arange(win), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = (flat[:, :, None] - flat[:, None, :]).transpose(1, 2, 0) + (win - 1)
+    idx = rel[..., 0] * (2 * win - 1) + rel[..., 1]
+    table = torch.tensor(sd[f"{tp}.attn.relative_position_bias_table"])
+    bias = table[torch.tensor(idx.reshape(-1))].view(win * win, win * win, heads)
+    attn = (q @ k.transpose(-2, -1) * 0.8 + bias.permute(2, 0, 1)[None]).softmax(-1)
+    o = (attn @ v).transpose(1, 2).reshape(nw, win * win, C)
+    o = o @ torch.tensor(sd[f"{tp}.attn.proj.weight"]).t() + torch.tensor(sd[f"{tp}.attn.proj.bias"])
+    o = o.view(B, H // win, W // win, win, win, C).permute(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
+    if shift:
+        o = torch.roll(o, (shift, shift), dims=(1, 2))
+    x = res + o
+    y = F.layer_norm(x, (C,), torch.tensor(sd[f"{tp}.norm2.weight"]),
+                     torch.tensor(sd[f"{tp}.norm2.bias"]), eps=1e-5)
+    y = F.gelu(y @ torch.tensor(sd[f"{tp}.mlp.fc1.weight"]).t() + torch.tensor(sd[f"{tp}.mlp.fc1.bias"]))
+    return x + (y @ torch.tensor(sd[f"{tp}.mlp.fc2.weight"]).t() + torch.tensor(sd[f"{tp}.mlp.fc2.bias"]))
+
+
+@pytest.mark.slow
+def test_maniqa_full_matches_torch_oracle():
+    """FULL MANIQA score path (ViT -> TAB -> conv -> swin -> TAB -> conv ->
+    swin -> dual-branch head) vs a functional torch oracle in the official
+    checkpoint layout — extends the ViT-only oracle to the score head."""
+    from dit4sr_tpu.eval.maniqa import convert_maniqa_torch, maniqa_score
+
+    rng = np.random.default_rng(5)
+    sd = _maniqa_timm_sd(rng)
+    params = {k: jnp.asarray(v) for k, v in convert_maniqa_torch(sd).items()}
+    x = rng.uniform(size=(2, 224, 224, 3)).astype(np.float32)
+    ours = np.asarray(maniqa_score(params, jnp.asarray(x)))
+
+    g = 28
+    with torch.no_grad():
+        h = _maniqa_vit_torch(sd, x)                        # (B, 784, 3072)
+        B = h.shape[0]
+        h = h.transpose(1, 2)                               # (B, C, N)
+        for i in range(2):
+            h = _maniqa_tablock_t(sd, f"tablock1.{i}", h)
+        hh = F.conv2d(h.view(B, -1, g, g), torch.tensor(sd["conv1.weight"]),
+                      torch.tensor(sd["conv1.bias"]))
+        y = hh.permute(0, 2, 3, 1)                          # (B, g, g, 768)
+        for bi in range(2):
+            y = _maniqa_swin_t(sd, f"swintransformer1.layers.{bi}", y,
+                               shift=2 * (bi % 2))
+        h = y.reshape(B, g * g, -1).transpose(1, 2)
+        for i in range(2):
+            h = _maniqa_tablock_t(sd, f"tablock2.{i}", h)
+        hh = F.conv2d(h.view(B, -1, g, g), torch.tensor(sd["conv2.weight"]),
+                      torch.tensor(sd["conv2.bias"]))
+        y = hh.permute(0, 2, 3, 1)
+        for bi in range(2):
+            y = _maniqa_swin_t(sd, f"swintransformer2.layers.{bi}", y,
+                               shift=2 * (bi % 2))
+        feat = y.reshape(B, g * g, -1)
+        s = F.relu(feat @ torch.tensor(sd["fc_score.0.weight"]).t() + torch.tensor(sd["fc_score.0.bias"]))
+        s = F.relu(s @ torch.tensor(sd["fc_score.3.weight"]).t() + torch.tensor(sd["fc_score.3.bias"]))
+        w = F.relu(feat @ torch.tensor(sd["fc_weight.0.weight"]).t() + torch.tensor(sd["fc_weight.0.bias"]))
+        w = torch.sigmoid(w @ torch.tensor(sd["fc_weight.3.weight"]).t() + torch.tensor(sd["fc_weight.3.bias"]))
+        ref = ((s * w).sum(dim=(1, 2)) / w.sum(dim=(1, 2)).clamp_min(1e-8)).numpy()
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
 
 
@@ -483,6 +583,146 @@ def test_musiq_multiscale_shapes():
     assert inp["scale_idx"].max() == 2
     # native 160x128 -> 5x4=20 patches valid in scale 0
     assert inp["mask"][0, :32].sum() == 20
+
+
+def _musiq_torch_sd(rng):
+    """Random weights in the torch-port layout convert_musiq_torch expects."""
+    def n(*s):
+        return rng.normal(0, 0.05, s).astype(np.float32)
+
+    def g(c):  # non-trivial norm affines to catch scale/bias mix-ups
+        return rng.uniform(0.5, 1.5, c).astype(np.float32)
+
+    sd = {
+        "conv_root.weight": n(64, 3, 7, 7),
+        "gn_root.weight": g(64), "gn_root.bias": n(64),
+        "block1.preact_gn.weight": g(64), "block1.preact_gn.bias": n(64),
+        "block1.proj_conv.weight": n(256, 64, 1, 1),
+        "block1.conv1.weight": n(64, 64, 1, 1),
+        "block1.gn1.weight": g(64), "block1.gn1.bias": n(64),
+        "block1.conv2.weight": n(64, 64, 3, 3),
+        "block1.gn2.weight": g(64), "block1.gn2.bias": n(64),
+        "block1.conv3.weight": n(256, 64, 1, 1),
+        "embedding.weight": n(384, 4096), "embedding.bias": n(384),
+        "cls_token": n(1, 1, 384),
+        "spatial_embedding": n(100, 384),
+        "scale_embedding": n(3, 384),
+        "encoder_norm.weight": g(384), "encoder_norm.bias": n(384),
+        "head.weight": n(1, 384), "head.bias": n(1),
+    }
+    for i in range(14):
+        tp = f"transformer.layers.{i}"
+        sd[f"{tp}.norm1.weight"] = g(384)
+        sd[f"{tp}.norm1.bias"] = n(384)
+        sd[f"{tp}.attn.qkv.weight"] = n(3 * 384, 384)
+        sd[f"{tp}.attn.qkv.bias"] = n(3 * 384)
+        sd[f"{tp}.attn.proj.weight"] = n(384, 384)
+        sd[f"{tp}.attn.proj.bias"] = n(384)
+        sd[f"{tp}.norm2.weight"] = g(384)
+        sd[f"{tp}.norm2.bias"] = n(384)
+        sd[f"{tp}.mlp.fc1.weight"] = n(1152, 384)
+        sd[f"{tp}.mlp.fc1.bias"] = n(1152)
+        sd[f"{tp}.mlp.fc2.weight"] = n(384, 1152)
+        sd[f"{tp}.mlp.fc2.bias"] = n(384)
+    return sd
+
+
+def _musiq_torch(sd, inp):
+    """Functional torch MUSIQ oracle over prepare_inputs outputs: BiT patch
+    encoder (weight-standardized convs, GN eps 1e-5, 3x3/2 maxpool,
+    pre-activation bottleneck), hash-grid spatial + scale embeddings, CLS +
+    masked 14-layer pre-LN transformer (LN eps 1e-6), linear head."""
+    def t(k):
+        return torch.tensor(sd[k])
+
+    def ws(w):
+        m = w.mean(dim=(1, 2, 3), keepdim=True)
+        v = w.var(dim=(1, 2, 3), unbiased=False, keepdim=True)
+        return (w - m) / torch.sqrt(v + 1e-10)
+
+    def gn(x, p):
+        return F.group_norm(x, 32, t(f"{p}.weight"), t(f"{p}.bias"), eps=1e-5)
+
+    patches = torch.tensor(inp["patches"]) * 2.0 - 1.0      # (B, T, 32, 32, 3)
+    B, T = patches.shape[:2]
+    x = patches.reshape(B * T, 32, 32, 3).permute(0, 3, 1, 2)
+    h = F.conv2d(x, ws(t("conv_root.weight")), stride=2, padding=3)
+    h = F.relu(gn(h, "gn_root"))
+    h = F.max_pool2d(h, 3, 2, 1)
+    y = F.relu(gn(h, "block1.preact_gn"))
+    sc = F.conv2d(y, ws(t("block1.proj_conv.weight")), stride=2)
+    y = F.conv2d(y, ws(t("block1.conv1.weight")))
+    y = F.relu(gn(y, "block1.gn1"))
+    y = F.conv2d(y, ws(t("block1.conv2.weight")), stride=2, padding=1)
+    y = F.relu(gn(y, "block1.gn2"))
+    y = F.conv2d(y, ws(t("block1.conv3.weight")))
+    h = sc + y                                              # (BT, 256, 4, 4)
+    flat = h.permute(0, 2, 3, 1).reshape(B * T, -1)         # (h, w, c) order
+    emb = (flat @ t("embedding.weight").t() + t("embedding.bias")).view(B, T, 384)
+
+    gi = np.clip(np.round(inp["coords"][..., 0] * 9), 0, 9)
+    gj = np.clip(np.round(inp["coords"][..., 1] * 9), 0, 9)
+    hse = t("spatial_embedding")[torch.tensor((gi * 10 + gj).astype(np.int64))]
+    sce = t("scale_embedding")[torch.tensor(inp["scale_idx"].astype(np.int64))]
+    x = emb + hse + sce
+    cls = t("cls_token").view(1, 1, 384).expand(B, -1, -1)
+    x = torch.cat([cls, x], dim=1)
+    mask = torch.cat([torch.ones(B, 1), torch.tensor(inp["mask"])], dim=1)
+    bias = (1.0 - mask)[:, None, None, :] * -1e9
+    for i in range(14):
+        tp = f"transformer.layers.{i}"
+        y = F.layer_norm(x, (384,), t(f"{tp}.norm1.weight"), t(f"{tp}.norm1.bias"), eps=1e-6)
+        qkv = y @ t(f"{tp}.attn.qkv.weight").t() + t(f"{tp}.attn.qkv.bias")
+        q, k, v = qkv.chunk(3, -1)
+        S = q.shape[1]
+        q = q.view(B, S, 6, 64).transpose(1, 2)
+        k = k.view(B, S, 6, 64).transpose(1, 2)
+        v = v.view(B, S, 6, 64).transpose(1, 2)
+        a = ((q @ k.transpose(-2, -1)) / 8.0 + bias).softmax(-1)
+        o = (a @ v).transpose(1, 2).reshape(B, S, 384)
+        x = x + (o @ t(f"{tp}.attn.proj.weight").t() + t(f"{tp}.attn.proj.bias"))
+        y = F.layer_norm(x, (384,), t(f"{tp}.norm2.weight"), t(f"{tp}.norm2.bias"), eps=1e-6)
+        y = F.gelu(y @ t(f"{tp}.mlp.fc1.weight").t() + t(f"{tp}.mlp.fc1.bias"))
+        x = x + (y @ t(f"{tp}.mlp.fc2.weight").t() + t(f"{tp}.mlp.fc2.bias"))
+    x = F.layer_norm(x, (384,), t("encoder_norm.weight"), t("encoder_norm.bias"), eps=1e-6)
+    return (x[:, 0] @ t("head.weight").t() + t("head.bias"))[:, 0]
+
+
+@pytest.mark.slow
+def test_musiq_matches_torch_oracle():
+    """FULL MUSIQ (patch encoder + embeddings + masked transformer + head)
+    vs a functional torch oracle in the converter's expected layout —
+    checks arch AND converter end to end, including padded-slot masking."""
+    from dit4sr_tpu.eval.musiq import (
+        convert_musiq_torch, musiq_score, prepare_inputs,
+    )
+
+    rng = np.random.default_rng(7)
+    sd = _musiq_torch_sd(rng)
+    params = {k: jnp.asarray(v) for k, v in convert_musiq_torch(sd).items()}
+    img = rng.uniform(size=(2, 96, 128, 3)).astype(np.float32)
+    inp = prepare_inputs(img, budgets=(16, 16, 8))  # scale0: 12 of 16 valid
+    assert 0 < inp["mask"].sum() < inp["mask"].size  # real + padded slots
+    ours = np.asarray(musiq_score(params, {k: jnp.asarray(v) for k, v in inp.items()}))
+    with torch.no_grad():
+        ref = _musiq_torch(sd, inp).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_musiq_converter_chw_embed_order():
+    """embed_order='chw' must permute the embedding input axis so a port
+    that flattens NCHW directly still scores identically."""
+    from dit4sr_tpu.eval.musiq import convert_musiq_torch
+
+    rng = np.random.default_rng(8)
+    sd = _musiq_torch_sd(rng)
+    ref = convert_musiq_torch(sd)["embed_w"]                 # (4096, 384)
+    sd_chw = dict(sd)
+    w = sd["embedding.weight"].reshape(384, 4, 4, 256)       # (out, h, w, c)
+    sd_chw["embedding.weight"] = np.ascontiguousarray(
+        w.transpose(0, 3, 1, 2).reshape(384, 4096))          # (out, c, h, w)
+    got = convert_musiq_torch(sd_chw, embed_order="chw")["embed_w"]
+    np.testing.assert_array_equal(got, ref)
 
 
 # --------------------------------------------------------------------------
