@@ -36,16 +36,21 @@ from dit4sr_tpu.config import VAEConfig
 # scheduler at all. The flag is consumed at trace time (a static constant of
 # the jitted program), set via the `tile_sync_group_norm` context manager
 # around the traced apply.
-_TILE_SYNC_STACK: list = [1]
+_TILE_SYNC_STACK: list = [(1, None)]
 
 
 @contextmanager
-def tile_sync_group_norm(num_tiles: int):
+def tile_sync_group_norm(num_tiles: int, weights=None):
     """Within this context, group_norm pools statistics over the leading
     tile axis: inputs are (T*B, H, W, C) stacked tile-major (tile t of image
     b at row t*B + b, utils/tiling.extract_tiles) and every GroupNorm
-    normalizes image b's tiles with their COMMON mean/var."""
-    _TILE_SYNC_STACK.append(int(num_tiles))
+    normalizes image b's tiles with their COMMON mean/var.
+
+    `weights` (T,) optionally weights each tile's contribution to the pooled
+    statistics — a tile replicated k times (the sharded path's cyclic
+    padding) gets weight 1/k so the pooled moments stay EXACTLY those of the
+    unpadded tile set."""
+    _TILE_SYNC_STACK.append((int(num_tiles), weights))
     try:
         yield
     finally:
@@ -56,12 +61,20 @@ def group_norm(x: jnp.ndarray, num_groups: int, scale, bias, eps=1e-6):
     """GroupNorm over NHWC with fp32 statistics (optionally pooled across
     tiles of the same image — see tile_sync_group_norm)."""
     b, h, w, c = x.shape
-    t = _TILE_SYNC_STACK[-1]
+    t, tw = _TILE_SYNC_STACK[-1]
     x32 = x.astype(jnp.float32).reshape(b, h, w, num_groups, c // num_groups)
     if t > 1 and b % t == 0:
         xt = x32.reshape(t, b // t, h, w, num_groups, c // num_groups)
-        mean = jnp.mean(xt, axis=(0, 2, 3, 5), keepdims=True)
-        var = jnp.var(xt, axis=(0, 2, 3, 5), keepdims=True)
+        if tw is None:
+            mean = jnp.mean(xt, axis=(0, 2, 3, 5), keepdims=True)
+            var = jnp.var(xt, axis=(0, 2, 3, 5), keepdims=True)
+        else:
+            w6 = tw.astype(jnp.float32).reshape(t, 1, 1, 1, 1, 1)
+            denom = jnp.sum(tw.astype(jnp.float32)) * (h * w * (c // num_groups))
+            mean = jnp.sum(xt * w6, axis=(0, 2, 3, 5), keepdims=True) / denom
+            var = jnp.sum(
+                jnp.square(xt - mean) * w6, axis=(0, 2, 3, 5), keepdims=True
+            ) / denom
         xt = (xt - mean) * jax.lax.rsqrt(var + eps)
         x32 = xt.reshape(b, h, w, c)
     else:

@@ -4,6 +4,7 @@ tiled sampler end to end on tiny shapes."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dit4sr_tpu.config import (
     SamplerConfig,
@@ -67,8 +68,11 @@ def test_tiled_vae_roundtrip_close_to_untiled():
     # NOTE: exact parity with untiled decode is not expected — the VAE
     # mid-block attention is global, and (like the reference's vaehook) the
     # tiled path runs it per tile; with random weights and 4-latent tiles
-    # conv border effects dominate, so seam quality is validated with real
-    # weights at production tile sizes. Here: determinism.
+    # conv border effects dominate. Seam quality with TRAINED weights at
+    # production tile sizes is validated by tools/validate_tiled_vae.py
+    # (artifacts/tiled_vae_validation.json: gn_sync 42.3 dB vs untiled,
+    # plain per-tile stats 22.9 dB) and test_tiled_vae_trained_weights
+    # below. Here: determinism.
     img_tiled2 = tiled_vae_decode(vae, params, z_tiled, cfg, tile=4, overlap=2)
     np.testing.assert_array_equal(np.asarray(img_tiled), np.asarray(img_tiled2))
 
@@ -196,6 +200,87 @@ def test_gn_sync_reduces_tiled_decode_error():
     # determinism of the synced path
     synced2 = tiled_vae_decode(vae, params, z, cfg, tile=8, overlap=4, gn_sync=True)
     np.testing.assert_array_equal(np.asarray(synced), np.asarray(synced2))
+
+
+def test_gn_sync_sharded_decode_matches_unsharded():
+    """gn_sync over a SHARDED tile batch: the GN stat reduction spans the
+    sharded tile axis (XLA collective) and the cyclic padding's duplicated
+    tile-rows are down-weighted, so the result matches the unsharded
+    gn_sync decode. Geometry forces padding: 9 tiles -> pad to 16 on the
+    8-way axis (B=1), and 2x9 rows -> pad to 24 (B=2)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dit4sr_tpu.config import MeshConfig
+    from dit4sr_tpu.parallel.mesh import make_mesh
+
+    cfg = vae_tiny()
+    vae = AutoencoderKL(cfg)
+    params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), cfg.dtype))
+    mesh = make_mesh(MeshConfig(data=8), jax.devices()[:8])
+
+    for B in (1, 2):
+        rng = np.random.default_rng(10 + B)
+        z = jnp.asarray(
+            rng.normal(size=(B, 16, 16, cfg.latent_channels)).astype(np.float32)
+            * np.float32(cfg.scaling_factor)
+        )
+        ref = tiled_vae_decode(vae, params, z, cfg, tile=8, overlap=4,
+                               gn_sync=True)
+        fn = jax.jit(
+            lambda zz: tiled_vae_decode(
+                vae, params, zz, cfg, tile=8, overlap=4, gn_sync=True,
+                shard_axis="data", shard_size=8,
+            )
+        )
+        with mesh:
+            got = fn(jax.device_put(z, NamedSharding(mesh, P())))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5,
+            err_msg=f"B={B}",
+        )
+
+
+@pytest.mark.slow
+def test_tiled_vae_trained_weights():
+    """Trained-weights seam gate (reduced-size version of
+    tools/validate_tiled_vae.py): with the quality probe's learned VAE,
+    gn_sync must beat per-tile stats and reach >=35 dB parity with the
+    untiled decode across tile boundaries. Skips when the probe artifact
+    hasn't been produced on this machine."""
+    import os
+    import pickle
+
+    pkl = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", "quality_probe_ocr", "vae.pkl",
+    )
+    if not os.path.exists(pkl):
+        pytest.skip("trained VAE artifact missing (run scripts/quality_probe_ocr.py)")
+    from dit4sr_tpu.config import VAEConfig
+    from dit4sr_tpu.data.textscenes import make_scene_records
+    from dit4sr_tpu.eval.metrics import psnr
+
+    with open(pkl, "rb") as f:
+        saved = pickle.load(f)
+    cfg = VAEConfig(
+        latent_channels=8, block_out_channels=(64, 128, 128),
+        layers_per_block=1, norm_num_groups=16, sample_size=256,
+        dtype=jnp.float32, scaling_factor=saved["scaling"],
+        shift_factor=saved["shift"],
+    )
+    vae = AutoencoderKL(cfg)
+    rec = make_scene_records(1, size=256, seed=77)[0]
+    img = jnp.asarray(rec["image"][None])
+    z = tiled_vae_encode(vae, saved["params"], img, cfg, tile=128, overlap=32,
+                         gn_sync=True)
+    ref = tiled_vae_decode(vae, saved["params"], z, cfg, tile=64, overlap=0)
+    plain = tiled_vae_decode(vae, saved["params"], z, cfg, tile=32, overlap=8)
+    sync = tiled_vae_decode(vae, saved["params"], z, cfg, tile=32, overlap=8,
+                            gn_sync=True)
+    p_plain = float(psnr(plain, ref)[0])
+    p_sync = float(psnr(sync, ref)[0])
+    assert p_sync > p_plain, (p_sync, p_plain)
+    assert p_sync >= 35.0, p_sync
 
 
 def test_gn_sync_encode_runs_and_is_close():
