@@ -222,16 +222,137 @@ def _bwd_kernel(idx_ref, v_ref, w_ref, do_ref, dv_ref, dw_ref,
         dv_ref[0] = dv_acc[...]
 
 
+# -- phased variant ----------------------------------------------------------
+#
+# The looped kernels above interleave, per query: slice reads, one or two
+# small (1, 4P) MXU dots, and (bwd) a chain of read-modify-write updates on
+# ONE dv accumulator — every RMW serializes against the previous because
+# Mosaic cannot prove the dynamic indices don't alias. The phased variant
+# restructures each group of `ways` queries into data-independent phases the
+# compiler can pipeline (same trick as the flash kernel's ways-split fwd):
+#
+#   A. gather ALL the group's footprint rows into one (ways*4P, D) scratch
+#      (pure reads, no dependencies);
+#   B. one block-diagonal (ways, ways*4P) @ (ways*4P, D) MXU matmul replaces
+#      `ways` separate (1, 4P) dots (fwd output rows / bwd dW+contrib);
+#   C. (bwd) scatter the contribution rows through TWO alternating dv
+#      accumulators, halving the RMW dependency chain; summed at the end.
+#
+# Exactly the same math -> bit-comparable outputs; selected via
+# ms_deform_attn(impl="pallas_phased") for benchmarking (tools/
+# bench_deform_kernel.py decides the default on real hardware).
+
+_WAYS = 8  # queries per phase group: ways * 4P = 128 lanes at P=4
+
+
+def _block_diag_w(wq, ways, rows):
+    """(ways, rows) per-query weights -> (ways, ways*rows) block-diagonal."""
+    wexp = jnp.concatenate([wq] * ways, axis=1)            # [i, j*rows+r] = wq[i, r]
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (ways, ways * rows), 1) // rows
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (ways, ways * rows), 0)
+    return jnp.where(col_blk == row_id, wexp, 0.0)
+
+
+def _fwd_kernel_phased(idx_ref, v_ref, w_ref, o_ref, scratch, *, n_points, ways):
+    rows = 2 * n_points
+
+    def gbody(gi, _):
+        base = gi * ways
+        for u in range(ways):          # phase A: gather (unrolled, pure reads)
+            for p in range(n_points):
+                scratch[u * rows + 2 * p : u * rows + 2 * p + 2, :] = (
+                    v_ref[0, pl.ds(idx_ref[0, base + u, p], 2), :]
+                )
+        wq = w_ref[0, pl.ds(base, ways), :]                # (ways, rows)
+        o_ref[0, pl.ds(base, ways), :] = jax.lax.dot_general(
+            _block_diag_w(wq, ways, rows), scratch[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                  # phase B: one MXU op
+        return 0
+
+    jax.lax.fori_loop(0, o_ref.shape[1] // ways, gbody, 0)
+
+
+def _bwd_kernel_phased(idx_ref, v_ref, w_ref, do_ref, dv_ref, dw_ref,
+                       scratch, dv_acc0, dv_acc1, *, n_points, ways):
+    i = pl.program_id(1)
+    rows = 2 * n_points
+
+    @pl.when(i == 0)
+    def _():
+        dv_acc0[...] = jnp.zeros_like(dv_acc0)
+        dv_acc1[...] = jnp.zeros_like(dv_acc1)
+
+    # constant block-sum matrix: S[c, r] = (c % rows == r)
+    col_r = jax.lax.broadcasted_iota(jnp.int32, (ways * rows, rows), 0) % rows
+    lane_r = jax.lax.broadcasted_iota(jnp.int32, (ways * rows, rows), 1)
+    ssum = (col_r == lane_r).astype(jnp.float32)
+
+    def gbody(gi, _):
+        base = gi * ways
+        for u in range(ways):          # phase A: gather
+            for p in range(n_points):
+                scratch[u * rows + 2 * p : u * rows + 2 * p + 2, :] = (
+                    v_ref[0, pl.ds(idx_ref[0, base + u, p], 2), :]
+                )
+        do_g = do_ref[0, pl.ds(base, ways), :]             # (ways, D)
+        # phase B: dW_full = dOut . gathered rows, block-selected + summed
+        dwf = jax.lax.dot_general(
+            do_g, scratch[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                  # (ways, ways*rows)
+        col_blk = jax.lax.broadcasted_iota(jnp.int32, (ways, ways * rows), 1) // rows
+        row_id = jax.lax.broadcasted_iota(jnp.int32, (ways, ways * rows), 0)
+        dw_sel = jnp.where(col_blk == row_id, dwf, 0.0)
+        dw_ref[0, pl.ds(base, ways), :] = jax.lax.dot_general(
+            dw_sel, ssum, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                  # (ways, rows)
+        # contribution rows for dV: blockdiag(W)^T @ dOut -> (ways*rows, D)
+        wq = w_ref[0, pl.ds(base, ways), :]
+        contrib = jax.lax.dot_general(
+            _block_diag_w(wq, ways, rows), do_g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        # phase C: scatter through alternating accumulators (shorter RMW
+        # dependency chains; the two buffers cannot alias)
+        for u in range(ways):
+            for p in range(n_points):
+                s = idx_ref[0, base + u, p]
+                rows_c = contrib[u * rows + 2 * p : u * rows + 2 * p + 2, :]
+                if p % 2 == 0:
+                    dv_acc0[pl.ds(s, 2), :] += rows_c
+                else:
+                    dv_acc1[pl.ds(s, 2), :] += rows_c
+        return 0
+
+    jax.lax.fori_loop(0, do_ref.shape[1] // ways, gbody, 0)
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        dv_ref[0] = dv_acc0[...] + dv_acc1[...]
+
+
 def _pad_q(x, qp, axis):
     pad = [(0, 0)] * x.ndim
     pad[axis] = (0, qp - x.shape[axis])
     return jnp.pad(x, pad) if qp != x.shape[axis] else x
 
 
-def _gather_call(idx, v3, w4, *, n_points, interpret):
+def _gather_call(idx, v3, w4, *, n_points, interpret, variant="looped"):
     G, Sl, D = v3.shape
     Q = idx.shape[1]
-    kernel = functools.partial(_fwd_kernel, n_points=n_points)
+    if variant == "phased":
+        kernel = functools.partial(
+            _fwd_kernel_phased, n_points=n_points, ways=_WAYS
+        )
+    else:
+        kernel = functools.partial(_fwd_kernel, n_points=n_points)
     return pl.pallas_call(
         kernel,
         grid=(G, Q // _QB),
@@ -246,15 +367,33 @@ def _gather_call(idx, v3, w4, *, n_points, interpret):
         out_specs=pl.BlockSpec((1, _QB, D), lambda g, i: (g, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, Q, D), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2 * n_points, D), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(
+            ((_WAYS if variant == "phased" else 1) * 2 * n_points, D),
+            jnp.float32,
+        )],
         interpret=interpret,
     )(idx, v3, w4)
 
 
-def _gather_bwd_call(idx, v3, w4, dout, *, n_points, interpret):
+def _gather_bwd_call(idx, v3, w4, dout, *, n_points, interpret,
+                     variant="looped"):
     G, Sl, D = v3.shape
     Q = idx.shape[1]
-    kernel = functools.partial(_bwd_kernel, n_points=n_points)
+    if variant == "phased":
+        kernel = functools.partial(
+            _bwd_kernel_phased, n_points=n_points, ways=_WAYS
+        )
+        extra_scratch = [
+            pltpu.VMEM((_WAYS * 2 * n_points, D), jnp.float32),
+            pltpu.VMEM((Sl, D), jnp.float32),
+            pltpu.VMEM((Sl, D), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(_bwd_kernel, n_points=n_points)
+        extra_scratch = [
+            pltpu.VMEM((2 * n_points, D), jnp.float32),
+            pltpu.VMEM((Sl, D), jnp.float32),
+        ]
     return pl.pallas_call(
         kernel,
         grid=(G, Q // _QB),
@@ -278,10 +417,7 @@ def _gather_bwd_call(idx, v3, w4, dout, *, n_points, interpret):
             jax.ShapeDtypeStruct((G, Sl, D), jnp.float32),
             jax.ShapeDtypeStruct((G, Q, 2 * n_points), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2 * n_points, D), jnp.float32),
-            pltpu.VMEM((Sl, D), jnp.float32),
-        ],
+        scratch_shapes=extra_scratch,
         interpret=interpret,
     )(idx, v3, w4, dout)
 
@@ -300,25 +436,29 @@ def _prep(value, spatial_shapes, loc, attw):
     return v3, idx, w4
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
-def _ms_deform_attn_pallas(value, spatial_shapes, loc, attw, interpret):
-    out, _ = _pallas_fwd_impl(value, spatial_shapes, loc, attw, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
+def _ms_deform_attn_pallas(value, spatial_shapes, loc, attw, interpret,
+                           variant="looped"):
+    out, _ = _pallas_fwd_impl(value, spatial_shapes, loc, attw, interpret,
+                              variant)
     return out
 
 
-def _pallas_fwd_impl(value, spatial_shapes, loc, attw, interpret):
+def _pallas_fwd_impl(value, spatial_shapes, loc, attw, interpret,
+                     variant="looped"):
     B, S, M, D = value.shape
     L = len(spatial_shapes)
     P = loc.shape[-2]
     Q = loc.shape[1]
     v3, idx, w4 = _prep(value, spatial_shapes, loc, attw)
-    part = _gather_call(idx, v3, w4, n_points=2 * P, interpret=interpret)
+    part = _gather_call(idx, v3, w4, n_points=2 * P, interpret=interpret,
+                        variant=variant)
     part = part[:, :Q].reshape(B, M, L, Q, D).sum(axis=2)      # (B, M, Q, D)
     out = part.transpose(0, 2, 1, 3).reshape(B, Q, M * D)
     return out, (value, loc, attw)
 
 
-def _pallas_bwd_impl(spatial_shapes, interpret, res, dout):
+def _pallas_bwd_impl(spatial_shapes, interpret, variant, res, dout):
     value, loc, attw = res
     B, S, M, D = value.shape
     L = len(spatial_shapes)
@@ -334,7 +474,7 @@ def _pallas_bwd_impl(spatial_shapes, interpret, res, dout):
     do = _pad_q(do.reshape(B * M * L, Q, D), Qp, 1)
 
     dv3, dw4 = _gather_bwd_call(idx, v3, w4, do, n_points=2 * P,
-                                interpret=interpret)
+                                interpret=interpret, variant=variant)
     dvalue = (
         dv3.reshape(B, M, L * (S // L), D).transpose(0, 2, 1, 3)
     )                                                           # (B, S, M, D)
@@ -362,16 +502,19 @@ def ms_deform_attn(
     """Dispatch between the XLA gather core and the Pallas VMEM kernel.
 
     impl: "auto" (pallas on TPU when levels are uniform, else xla),
-    "pallas" (interpret-mode off-TPU, for tests), "xla"."""
+    "pallas" (interpret-mode off-TPU, for tests), "pallas_phased" (the
+    phase-split kernel variant — see _fwd_kernel_phased), "xla"."""
     shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
     uniform = len(set(shapes)) == 1 and shapes[0][0] >= 2 and shapes[0][1] >= 2
     if impl == "auto":
         impl = "pallas" if (jax.default_backend() != "cpu" and uniform) else "xla"
-    if impl == "pallas":
+    if impl.startswith("pallas"):
         if not uniform:
             raise NotImplementedError(f"pallas path needs uniform levels, got {shapes}")
         interpret = jax.default_backend() == "cpu"
+        variant = "phased" if impl == "pallas_phased" else "looped"
         return _ms_deform_attn_pallas(
-            value, shapes, sampling_locations, attention_weights, interpret
+            value, shapes, sampling_locations, attention_weights, interpret,
+            variant,
         )
     return ms_deform_attn_core(value, shapes, sampling_locations, attention_weights)

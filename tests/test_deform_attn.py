@@ -73,10 +73,12 @@ def test_gradients_flow():
     assert float(jnp.abs(gl).max()) > 0
 
 
+@pytest.mark.parametrize("impl", ["pallas", "pallas_phased"])
 @pytest.mark.parametrize("seed", [0, 1])
-def test_pallas_matches_xla_core(seed):
-    """Pallas VMEM-gather kernel (interpret mode on CPU) vs the XLA core:
-    values and all three gradients, including out-of-range locations."""
+def test_pallas_matches_xla_core(seed, impl):
+    """Pallas VMEM-gather kernels (interpret mode on CPU) vs the XLA core:
+    values and all three gradients, including out-of-range locations. Covers
+    both the looped and the phase-split variants."""
     import jax
 
     from dit4sr_tpu.ops.deform_attn import ms_deform_attn
@@ -93,7 +95,7 @@ def test_pallas_matches_xla_core(seed):
     w = w / w.sum(axis=(-2, -1), keepdims=True)
 
     ref = np.asarray(ms_deform_attn_core(value, shapes, loc, w))
-    got = np.asarray(ms_deform_attn(value, shapes, loc, w, impl="pallas"))
+    got = np.asarray(ms_deform_attn(value, shapes, loc, w, impl=impl))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
     def loss(fn):
@@ -101,7 +103,7 @@ def test_pallas_matches_xla_core(seed):
 
     g_ref = jax.grad(loss(ms_deform_attn_core), argnums=(0, 1, 2))(value, loc, w)
     g_new = jax.grad(
-        loss(lambda v, s, l, a: ms_deform_attn(v, s, l, a, impl="pallas")),
+        loss(lambda v, s, l, a: ms_deform_attn(v, s, l, a, impl=impl)),
         argnums=(0, 1, 2),
     )(value, loc, w)
     for a, b, name in zip(g_new, g_ref, ("dvalue", "dloc", "dweights")):
