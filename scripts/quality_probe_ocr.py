@@ -46,7 +46,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import pickle
@@ -143,20 +142,21 @@ def main():
     args = ap.parse_args()
 
     from dit4sr_tpu.config import (
-        MMDiTConfig, SamplerConfig, SchedulerConfig, TESTRConfig, TrainConfig,
-        OptimConfig, VAEConfig, mmdit_tiny, testr_tiny, vae_tiny,
+        SamplerConfig, SchedulerConfig, TrainConfig, OptimConfig,
     )
-    from dit4sr_tpu.data.degradation import mild_params, realesrgan_degradation
+    from dit4sr_tpu.data.degradation import realesrgan_degradation
     from dit4sr_tpu.data.satext import synthesize_prompt
     from dit4sr_tpu.data.textscenes import WORDS, make_scene_records
     from dit4sr_tpu.eval.harness import crop_and_resize
     from dit4sr_tpu.eval.metrics import psnr, ssim
+    from dit4sr_tpu.eval.probe_setup import (
+        ocr_probe_degradation, ocr_probe_encoder, ocr_probe_geometry,
+    )
     from dit4sr_tpu.models.testr.detector import TextSpotter
     from dit4sr_tpu.models.vae import AutoencoderKL
     from dit4sr_tpu.pipelines.ocr_guided import OCRGuidedSampler
     from dit4sr_tpu.pipelines.sr_pipeline import SRPipeline
     from dit4sr_tpu.text.dictionary import snap_words
-    from dit4sr_tpu.text.encoders import WordHashTextEncoder
     from dit4sr_tpu.train.trainer import Trainer
     from dit4sr_tpu.train.vae_train import measure_latent_stats, train_vae
 
@@ -169,80 +169,13 @@ def main():
 
     size = args.image_size
 
-    # --- geometry (stage-1 probe's proven /4 VAE + MMDiT, plus feature taps)
-    if args.smoke:
-        vae_cfg = vae_tiny(block_out_channels=(8, 16, 16))   # /4
-        latent_size = size // 4
-        model_cfg = mmdit_tiny(
-            in_channels=vae_cfg.latent_channels,
-            out_channels=vae_cfg.latent_channels,
-            sample_size=latent_size,
-            pos_embed_max_size=latent_size,
-            feat_extract_layers=(0, 1),
-            feat_extract="hq+control",
-        )
-        testr_cfg = testr_tiny(
-            num_feature_levels=2, num_dit_layers=2,
-            dit_dim=model_cfg.inner_dim // 4 * 2,
-        )
-    else:
-        vae_cfg = VAEConfig(
-            latent_channels=8,
-            block_out_channels=(64, 128, 128),               # /4 downsample
-            layers_per_block=1,
-            norm_num_groups=16,
-            sample_size=size,
-            dtype=jnp.float32,
-        )
-        latent_size = size // 4
-        model_cfg = MMDiTConfig(
-            sample_size=latent_size,
-            patch_size=2,
-            in_channels=vae_cfg.latent_channels,
-            out_channels=vae_cfg.latent_channels,
-            num_layers=6,
-            attention_head_dim=64,
-            num_attention_heads=6,
-            joint_attention_dim=256,
-            caption_projection_dim=384,
-            pooled_projection_dim=128,
-            pos_embed_max_size=latent_size,
-            dual_attention_layers=(0, 1),
-            feat_extract_layers=(2, 4),     # mid + late block taps
-            feat_extract="hq+control",
-            dtype=jnp.float32,
-        )
-        # modest spotter: 2 levels over 64x64 maps (8192 enc tokens), d=128.
-        # dit_dim must equal the unpatchified channel count
-        # inner_dim/(p^2) * 2 streams = 384/4*2 = 192.
-        testr_cfg = TESTRConfig(
-            d_model=128,
-            nheads=8,
-            num_encoder_layers=3,
-            num_decoder_layers=3,
-            dim_feedforward=512,
-            num_feature_levels=2,
-            num_queries=40,
-            num_ctrl_points=8,
-            max_text_len=12,
-            max_instances=8,
-            num_dit_layers=2,
-            dit_dim=model_cfg.inner_dim // 4 * 2,
-            matcher_topk=64,
-            dtype=jnp.float32,
-        )
-    text_len = 16
-
-    encoder = WordHashTextEncoder(
-        seq_len=text_len,
-        joint_dim=model_cfg.joint_attention_dim,
-        pooled_dim=model_cfg.pooled_projection_dim,
-    )
-
-    # stage-1 probe's calibrated degradation: LQ lands ~23.6 dB, leaving the
-    # text partially readable — enough evidence for the spotter, too little
-    # for the image channel alone to restore exact glyphs
-    deg_sampler = functools.partial(mild_params, blur_sigma=3.0, noise_sigma2=25.0)
+    # geometry/encoder/degradation shared with scripts/serving_quality_sweep.py
+    # (eval/probe_setup.py is the single source of truth so the sweep reloads
+    # these pickles into bit-identical configs)
+    geom = ocr_probe_geometry(size, args.smoke)
+    vae_cfg, model_cfg, testr_cfg, latent_size, text_len = geom
+    encoder = ocr_probe_encoder(geom)
+    deg_sampler = ocr_probe_degradation()
 
     rng = jax.random.PRNGKey(0)
     print(f"[ocr-probe] generating {args.n_train}+{args.n_eval} scenes @ {size}px")

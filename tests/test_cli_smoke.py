@@ -331,3 +331,25 @@ def test_quality_probe_ocr_cli_smoke(tmp_path):
         assert "psnr" in agg[variant] and agg[variant]["psnr"] == agg[variant]["psnr"]
     assert "word_f1_snapped" in agg
     assert len(m["words"]) == 2
+
+    # chain the serving-quality sweep off the probe's smoke pickles (one
+    # probe run feeds both: the sweep reloads vae.pkl + stage3.pkl through
+    # eval/probe_setup.py's shared geometry)
+    sweep_out = tmp_path / "sweep"
+    r = _run(
+        [
+            "scripts/serving_quality_sweep.py", "--smoke",
+            "--probe_dir", str(out), "--out_dir", str(sweep_out),
+        ],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    sm = json.loads((sweep_out / "metrics.json").read_text())
+    modes = {row["mode"] for row in sm["rows"]}
+    assert {"exact", "bf16", "w8a8", "cache2", "cache3", "w8a8_cache2",
+            "w8a8_cache3", "steps7", "steps4"} <= modes
+    assert any(mode.startswith("distill") for mode in modes)
+    for row in sm["rows"]:
+        assert row["psnr"] == row["psnr"]          # finite
+        assert row["latency_s_per_image"] > 0
+    assert (sweep_out / "table.md").exists()
