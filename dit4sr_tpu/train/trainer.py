@@ -736,6 +736,12 @@ class Trainer:
         import signal
 
         self._preempted = False
+        # public: callers MUST check this after fit() returns — a preempted
+        # fit returns the mid-training state (so the checkpoint is durable
+        # and tests can assert on it), and multi-stage drivers that treat it
+        # as fully trained will silently continue on a half-trained model
+        # (this happened: quality_probe_ocr pickled a 282-step stage2)
+        self.preempted = False
 
         def _on_signal(signum, frame):
             if self._preempted:
@@ -764,6 +770,7 @@ class Trainer:
                     self.ckpt.save(step, state)
                 self.logger.log(step, {"preempted": 1.0})
                 print(f"preempted: checkpointed step {step}, exiting cleanly")
+                self.preempted = True
                 break
             if step >= target:
                 break

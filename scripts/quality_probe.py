@@ -259,6 +259,11 @@ def main():
             resume=args.resume,
             deg_sampler=deg_sampler,
         )
+        if trainer.preempted:
+            raise SystemExit(
+                f"[probe] preempted at step {int(state.step)} — metrics "
+                f"would score a half-trained model; rerun with --resume"
+            )
 
     # --- 3. eval: SR vs degraded input vs GT ---------------------------------
     print("[probe] sampling SR on held-out scenes")

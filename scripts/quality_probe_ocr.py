@@ -258,6 +258,13 @@ def main():
             resume=args.resume,
             deg_sampler=deg_sampler,
         )
+        if trainer.preempted:
+            # the returned state is mid-training (durably checkpointed) —
+            # pickling it would hand the NEXT stage a half-trained model
+            raise SystemExit(
+                f"[ocr-probe] {tag} preempted at step {int(state.step)} — "
+                f"rerun with --resume to continue"
+            )
         params = jax.device_get(state.params)
         with open(pkl, "wb") as f:
             pickle.dump(params, f)

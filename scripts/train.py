@@ -299,7 +299,11 @@ def main():
         jax.random.PRNGKey(train_cfg.seed + 1), num_steps=num_steps,
         val_samples=val_samples,
     )
-    print(f"finished at step {int(state.step)}; artifacts in {out_dir}")
+    if trainer.preempted:
+        print(f"preempted at step {int(state.step)}; checkpoint is durable — "
+              f"restart resumes from it (artifacts in {out_dir})")
+    else:
+        print(f"finished at step {int(state.step)}; artifacts in {out_dir}")
 
 
 if __name__ == "__main__":

@@ -205,6 +205,10 @@ def test_preemption_checkpoints_and_exits_cleanly(tmp_path):
     # 2 steps completed before the signal landed; step 2 is checkpointed
     assert int(state.step) == 2
     assert trainer.ckpt.latest_step() == 2
+    # callers must be able to tell preemption from completion: a multi-stage
+    # driver that pickles the returned state as "trained" would otherwise
+    # continue on a half-trained model (quality_probe_ocr guards on this)
+    assert trainer.preempted
     # default handlers restored? fit re-installs on every call, but after a
     # preempted run the process must still be alive to get here — and a
     # fresh fit must run normally
