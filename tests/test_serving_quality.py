@@ -1,0 +1,75 @@
+"""Gate the committed serving-quality artifact (round-2 review, weak #1).
+
+scripts/serving_quality_sweep.py measures the image-quality cost of every
+approximate serving mode on the OCR probe's LEARNED checkpoint (real TPU);
+its metrics.json is committed under artifacts/serving_quality/. These tests
+pin that artifact so a regression in any serving mode (a quantization bug, a
+cache-span change, a distill recipe break) shows up as a failing bound the
+next time the sweep is re-run and committed.
+
+The bounds are deliberately stated in dB deltas vs the sweep's own exact
+pipeline on the same images — they transfer across probe retrains, unlike
+absolute PSNR.
+"""
+
+import json
+import os
+
+import pytest
+
+ART = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "artifacts", "serving_quality", "metrics.json",
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(ART),
+    reason="serving-quality artifact not committed (run "
+           "scripts/serving_quality_sweep.py on TPU)",
+)
+
+
+@pytest.fixture(scope="module")
+def rows():
+    with open(ART) as f:
+        data = json.load(f)
+    assert not data["config"]["smoke"], "committed artifact must be a real run"
+    return {r["mode"]: r for r in data["rows"]}
+
+
+def test_all_modes_present(rows):
+    assert {"exact", "bf16", "w8a8", "cache2", "cache3", "w8a8_cache2",
+            "w8a8_cache3", "steps7", "steps4"} <= set(rows)
+
+
+def test_lossless_modes_stay_close_to_exact(rows):
+    """bf16 is a dtype change, not an algorithmic approximation: it must
+    track the exact output closely and cost (almost) nothing vs GT."""
+    exact = rows["exact"]
+    assert rows["bf16"]["psnr"] > exact["psnr"] - 0.3
+    assert rows["bf16"]["crop_psnr"] > exact["crop_psnr"] - 0.3
+
+
+def test_approximate_modes_bounded_degradation(rows):
+    """The headline claim: the fast serving stack is usable. Every
+    approximate mode stays within 1.0 dB full-image / 1.5 dB text-crop of
+    exact on the learned model."""
+    exact = rows["exact"]
+    for mode in ("w8a8", "cache2", "cache3", "w8a8_cache2", "w8a8_cache3"):
+        r = rows[mode]
+        assert r["psnr"] > exact["psnr"] - 1.0, (mode, r["psnr"], exact["psnr"])
+        assert r["crop_psnr"] > exact["crop_psnr"] - 1.5, mode
+        assert r["ssim"] > exact["ssim"] - 0.04, mode
+
+
+def test_distilled_beats_naive_step_cut(rows):
+    """Distillation must earn its training cost: at matched step counts the
+    student should be at least as faithful to the teacher's output as simply
+    truncating the schedule (psnr_vs_exact), and no worse vs GT."""
+    pairs = [(m, "steps" + m.removeprefix("distill"))
+             for m in rows if m.startswith("distill")]
+    assert pairs, "sweep artifact has no distilled rows"
+    for dist, naive in pairs:
+        if naive not in rows:
+            continue
+        assert rows[dist]["psnr"] >= rows[naive]["psnr"] - 0.2, (dist, naive)
