@@ -68,7 +68,12 @@ def test_distilled_beats_naive_step_cut(rows):
     truncating the schedule (psnr_vs_exact), and no worse vs GT."""
     pairs = [(m, "steps" + m.removeprefix("distill"))
              for m in rows if m.startswith("distill")]
-    assert pairs, "sweep artifact has no distilled rows"
+    if not pairs:
+        with open(ART) as f:
+            cfg = json.load(f)["config"]
+        if not cfg.get("distilled", True):
+            pytest.skip("sweep artifact was produced with --no_distill")
+        raise AssertionError("sweep artifact has no distilled rows")
     for dist, naive in pairs:
         if naive not in rows:
             continue
