@@ -61,6 +61,14 @@ if os.environ.get("JAX_PLATFORMS"):
     except Exception:
         pass
 
+# the probe pays 6+ large jit compiles (VAE/stage1/stage2/stage3 train steps,
+# eval pipelines); the axon compile service intermittently degrades to
+# ~10 min/compile, so persist executables — a killed/resumed probe (or the
+# serving sweep reloading the same geometry) skips straight to steps
+from dit4sr_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import jax.numpy as jnp
 import numpy as np
 

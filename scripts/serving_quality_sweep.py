@@ -51,6 +51,10 @@ if os.environ.get("JAX_PLATFORMS"):
     except Exception:
         pass
 
+from dit4sr_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()  # axon compile service can degrade to ~10 min/compile
+
 import jax.numpy as jnp
 import numpy as np
 
