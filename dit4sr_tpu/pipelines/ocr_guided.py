@@ -39,6 +39,17 @@ class OCRStepResult:
     scores: np.ndarray              # (B, K)
     keep: np.ndarray                # (B, K)
     polygons: np.ndarray            # (B, K, Np, 2)
+    recs: np.ndarray = None         # (B, K) argmax char ids for EVERY query
+
+    def topk_words(self, k: int) -> List[List[str]]:
+        """Per image: words of the k highest-scoring queries regardless of
+        the keep threshold (telemetry / threshold-free eval fallback)."""
+        out = []
+        for b in range(self.scores.shape[0]):
+            order = np.argsort(-self.scores[b])[:k]
+            words = [charset.decode(self.recs[b, q]) for q in order]
+            out.append([w for w in words if w])
+        return out
 
 
 class OCRGuidedSampler:
@@ -52,16 +63,29 @@ class OCRGuidedSampler:
         caption_style: str = "descriptive",
         correct_fn: Optional[Callable[[List[str], int], List[str]]] = None,
         correct_steps: Tuple[int, ...] = (),
+        threshold: Optional[float] = None,
     ):
         self.pipe = pipeline
         self.spotter = spotter
         self.encode_prompt_fn = encode_prompt_fn
         self.caption_style = caption_style
         self.correct_fn = correct_fn
+        # host-side override of TESTRConfig.inference_th_test: the keep mask
+        # is recomputed from scores in decode_predictions, so a calibrated
+        # threshold (quality_probe_ocr.py calibrates on train scenes — the
+        # reference's fixed 0.45 is tuned for a converged full-size model)
+        # needs no retrace. None = use the in-graph keep mask.
+        self.threshold = threshold
         self.correct_steps = set(correct_steps)
         self._n_ext = num_streams_extracted(pipeline.model_cfg)
+        # memoized per num_steps: __call__ is invoked repeatedly (per-step
+        # telemetry during probe training, calibration passes, eval) and a
+        # fresh jit closure per call would retrace every time
+        self._step_fns: Dict[int, Callable] = {}
 
     def make_step_fn(self, num_steps: int) -> Callable:
+        if num_steps in self._step_fns:
+            return self._step_fns[num_steps]
         pipe = self.pipe
         sched = make_schedule(pipe.scheduler_cfg, num_steps)
         mcfg = pipe.model_cfg
@@ -114,19 +138,25 @@ class OCRGuidedSampler:
             preds = spotter.predict(params["testr"], maps)
             return new_latents, preds
 
+        self._step_fns[num_steps] = step
         return step
 
     def decode_predictions(self, preds: SpotterPredictions) -> OCRStepResult:
-        keep = np.asarray(preds.keep)
         recs = np.asarray(preds.recs)
         scores = np.asarray(preds.scores)
+        if self.threshold is not None:
+            keep = scores >= self.threshold
+        else:
+            keep = np.asarray(preds.keep)
         texts: List[List[str]] = []
         for b in range(keep.shape[0]):
             words = [
                 charset.decode(recs[b, k]) for k in np.nonzero(keep[b])[0]
             ]
             texts.append([w for w in words if w])
-        return OCRStepResult(texts, scores, keep, np.asarray(preds.polygons))
+        return OCRStepResult(
+            texts, scores, keep, np.asarray(preds.polygons), recs
+        )
 
     def __call__(
         self,

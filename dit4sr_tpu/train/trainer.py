@@ -43,10 +43,16 @@ from dit4sr_tpu.train.train_step import Batch, TrainState, make_train_step
 class MetricLogger:
     """JSONL metrics + optional wandb (initialize.py:166-178 equivalent)."""
 
-    def __init__(self, out_dir: str, use_wandb: bool = False, project: str = ""):
+    def __init__(self, out_dir: str, use_wandb: bool = False, project: str = "",
+                 truncate: bool = False):
+        """`truncate` starts a fresh metrics.jsonl. Default is append (a
+        resumed run keeps its history), but a RE-run over an old out_dir
+        should truncate — round-3's committed probe artifact interleaved two
+        runs with the step counter resetting mid-file, making the record
+        ambiguous about which rows were current (advisor finding)."""
         os.makedirs(out_dir, exist_ok=True)
         self.path = os.path.join(out_dir, "metrics.jsonl")
-        self._f = open(self.path, "a")
+        self._f = open(self.path, "w" if truncate else "a")
         self.wandb = None
         if use_wandb:
             try:
@@ -490,6 +496,7 @@ class Trainer:
         sched_cfg: SchedulerConfig = SchedulerConfig(),
         out_dir: str = "./runs/default",
         use_wandb: bool = False,
+        fresh_logs: bool = False,
     ):
         self.model_cfg = model_cfg
         self.vae_cfg = vae_cfg
@@ -502,7 +509,7 @@ class Trainer:
         self.vae = AutoencoderKL(vae_cfg)
         self.spotter = TextSpotter(testr_cfg) if testr_cfg is not None else None
 
-        self.logger = MetricLogger(out_dir, use_wandb)
+        self.logger = MetricLogger(out_dir, use_wandb, truncate=fresh_logs)
         self.ckpt = Checkpointer(
             os.path.join(out_dir, "ckpt"),
             async_save=train_cfg.async_checkpointing,
@@ -709,6 +716,7 @@ class Trainer:
         resume: bool = True,
         val_samples=None,
         deg_sampler: Optional[Callable] = None,
+        step_callback: Optional[Callable] = None,
     ) -> TrainState:
         """batches yield dicts from SATextDataset.collate; encode_prompt_fn:
         list[str] -> (text_embeds, pooled). With `val_samples` (see
@@ -717,7 +725,10 @@ class Trainer:
         in-training validation (train_dit4sr.py:519-748). `deg_sampler`
         overrides the degradation randomness (rng, batch, kernels) ->
         DegradationParams — default is the full Real-ESRGAN draw; the
-        quality probe passes a mild deterministic recipe."""
+        quality probe passes a mild deterministic recipe. `step_callback`
+        (state, step) -> None runs after every optimizer step (the callback
+        owns its own cadence check) — the OCR probe uses it for in-training
+        spotter telemetry so a failing run is diagnosable mid-flight."""
         if resume:
             state = self.ckpt.restore(state, release_template=True)
         preprocess = self.make_preprocess_fn()
@@ -808,6 +819,8 @@ class Trainer:
                 self.logger.log(
                     step + 1, {"ckpt_save_s": time.perf_counter() - t0}
                 )
+            if step_callback is not None:
+                step_callback(state, step)
             if (
                 val_samples
                 and self.train_cfg.validation_steps > 0

@@ -61,14 +61,6 @@ if os.environ.get("JAX_PLATFORMS"):
     except Exception:
         pass
 
-# the probe pays 6+ large jit compiles (VAE/stage1/stage2/stage3 train steps,
-# eval pipelines); the axon compile service intermittently degrades to
-# ~10 min/compile, so persist executables — a killed/resumed probe (or the
-# serving sweep reloading the same geometry) skips straight to steps
-from dit4sr_tpu.utils.compile_cache import enable_persistent_cache
-
-enable_persistent_cache()
-
 import jax.numpy as jnp
 import numpy as np
 
@@ -124,6 +116,68 @@ def word_prf(pred_words, gt_words):
     return prec, rec, f1
 
 
+# threshold grid shared by the in-training telemetry and the post-stage-3
+# calibration; includes the reference's fixed 0.45 so both numbers appear
+THRESHOLDS = (0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45)
+
+
+def f1_sweep(scores, recs, gt_words_list, vocab):
+    """scores (B,K) + recs (B,K,Nw) char ids -> snapped word F1 at every
+    threshold in THRESHOLDS. The round-3 probe failed with F1 0.0 because
+    ZERO queries cleared the fixed 0.45 threshold (TESTRConfig
+    .inference_th_test, tuned for a converged full-size model) — the eval
+    could not distinguish 'scores at 0.44' from 'scores at 0.01'. Sweeping
+    makes the artifact diagnosable and feeds threshold calibration."""
+    from dit4sr_tpu.data import charset
+    from dit4sr_tpu.text.dictionary import snap_words
+
+    rows = []
+    for th in THRESHOLDS:
+        f1s = []
+        for b, gt in enumerate(gt_words_list):
+            kept = [
+                charset.decode(recs[b, k])
+                for k in np.nonzero(scores[b] >= th)[0]
+            ]
+            snapped = snap_words([w for w in kept if w], vocab)
+            f1s.append(word_prf(snapped, gt)[2])
+        rows.append({"th": th, "f1": float(np.mean(f1s))})
+    return rows
+
+
+def make_spot_probe(mmdit, spotter, model_cfg, sigma=0.5):
+    """Jitted single-forward spotting probe at a fixed mid-schedule noise
+    level: z_t = (1-s)*lq_latent + s*noise, null prompt — the inference-time
+    feature condition, without paying a full sampler pass. Used for
+    in-training telemetry (VERDICT r3: the failing run was undiagnosable
+    mid-flight)."""
+    from dit4sr_tpu.models.testr.model import fuse_dit_features
+    from dit4sr_tpu.train.ocr_loss import num_streams_extracted
+
+    n_ext = num_streams_extracted(model_cfg)
+
+    @jax.jit
+    def probe_fn(mmdit_params, testr_params, lq_lat, noise, text_e, pooled_e):
+        s = jnp.float32(sigma)
+        zt = (1.0 - s) * lq_lat + s * noise
+        t = jnp.broadcast_to(s * 1000.0, (zt.shape[0],))
+        _, feats = mmdit.apply(
+            mmdit_params,
+            zt.astype(model_cfg.dtype),
+            lq_lat.astype(model_cfg.dtype),
+            text_e.astype(model_cfg.dtype),
+            pooled_e.astype(model_cfg.dtype),
+            t,
+            extract_features=True,
+        )
+        maps = fuse_dit_features(
+            feats.astype(jnp.float32), model_cfg.patch_size, n_ext
+        )
+        return spotter.predict(testr_params, maps)
+
+    return probe_fn
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out_dir", default="artifacts/quality_probe_ocr")
@@ -136,9 +190,18 @@ def main():
     ap.add_argument("--align", default="adain",
                     choices=["nofix", "adain", "wavelet"])
     ap.add_argument("--image_size", type=int, default=256)
-    ap.add_argument("--n_train", type=int, default=256)
+    # 768 scenes (round 3 used 256): the from-scratch recognizer sees only
+    # n_train*3 word instances; 256 scenes = 768 instances was memorizable
+    # without generalizing (held-out readings were generic garbage)
+    ap.add_argument("--n_train", type=int, default=768)
     ap.add_argument("--n_eval", type=int, default=16)
     ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--spot_every", type=int, default=250,
+                    help="in-training spotter telemetry cadence (steps)")
+    ap.add_argument("--calib_scenes", type=int, default=16,
+                    help="TRAIN scenes used to calibrate the inference "
+                         "threshold after stage 3 (never the eval scenes)")
+    ap.add_argument("--no_compile_cache", action="store_true")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny geometry, a handful of steps: wiring only")
     ap.add_argument("--eval_only", action="store_true",
@@ -148,6 +211,17 @@ def main():
                     help="skip completed stages (pickles in --out_dir) and "
                          "resume the in-flight stage from its checkpoint")
     args = ap.parse_args()
+
+    # the probe pays 6+ large jit compiles (VAE/stage1/stage2/stage3 train
+    # steps, eval pipelines); the axon compile service intermittently degrades
+    # to ~10 min/compile, so persist executables — a killed/resumed probe (or
+    # the serving sweep reloading the same geometry) skips straight to steps.
+    # After argparse (not at import) so --help/--smoke CI runs don't write a
+    # cache dir, and opt-out for parity with serve.py (advisor r3).
+    if not args.no_compile_cache:
+        from dit4sr_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
 
     from dit4sr_tpu.config import (
         SamplerConfig, SchedulerConfig, TrainConfig, OptimConfig,
@@ -174,6 +248,7 @@ def main():
         args.image_size, args.n_train, args.n_eval = 64, 8, 2
         args.vae_steps = args.s1_steps = args.s2_steps = args.s3_steps = 2
         args.infer_steps, args.batch_size = 2, 2
+        args.spot_every, args.calib_scenes = 1, 2  # exercise telemetry in CI
 
     size = args.image_size
 
@@ -220,6 +295,72 @@ def main():
     vae = AutoencoderKL(vae_cfg)
     print(f"[ocr-probe] latent calibration: scaling={sf:.3f} shift={shf:.3f}")
 
+    # shared LQ synthesis (telemetry + calibration + eval)
+    deg_probe = jax.jit(
+        lambda k, g: realesrgan_degradation(
+            k, g, deg_sampler(None, g.shape[0]), use_usm=False
+        )[1]
+    )
+
+    # --- in-training spotter telemetry ---------------------------------------
+    # 8 held-out scenes, single forward at mid-schedule noise: score stats +
+    # snapped-F1 threshold sweep into <stage>/spot_telemetry.jsonl. The
+    # round-3 run trained blind — its failure (no query over the fixed 0.45
+    # threshold) was only visible after the full eval.
+    from dit4sr_tpu.models.mmdit import MMDiT
+    from dit4sr_tpu.pipelines.sr_pipeline import SRPipeline
+
+    mmdit = MMDiT(model_cfg)
+    spotter = TextSpotter(testr_cfg)
+    spot_probe_fn = make_spot_probe(mmdit, spotter, model_cfg)
+    spot_recs = eval_recs[: min(8, len(eval_recs))]
+    spot_gt_words = [sorted(set(r["text"])) for r in spot_recs]
+    _spot_cache = {}
+
+    def spot_telemetry(state, step, tag):
+        if (step + 1) % args.spot_every:
+            return
+        if "inputs" not in _spot_cache:
+            gt = jnp.asarray(np.stack([r["image"] for r in spot_recs]))
+            lq_img = jnp.clip(
+                deg_probe(jax.random.fold_in(rng, 55), gt), 0.0, 1.0
+            )
+            pipe_t = SRPipeline(
+                mmdit, vae, model_cfg, vae_cfg, SchedulerConfig(),
+                SamplerConfig(process_size=size),
+            )
+            lq_lat = pipe_t.encode_image(
+                vae_params, lq_img, jax.random.fold_in(rng, 56)
+            )
+            noise = jax.random.normal(
+                jax.random.fold_in(rng, 57), lq_lat.shape, jnp.float32
+            )
+            te, pe = encoder([""] * len(spot_recs))
+            _spot_cache["inputs"] = (lq_lat, noise, te, pe)
+        lq_lat, noise, te, pe = _spot_cache["inputs"]
+        preds = spot_probe_fn(
+            state.params["mmdit"], state.params["testr"], lq_lat, noise, te, pe
+        )
+        scores = np.asarray(preds.scores)
+        recs = np.asarray(preds.recs)
+        sweep = f1_sweep(scores, recs, spot_gt_words, WORDS)
+        best = max(sweep, key=lambda r: r["f1"])
+        row = {
+            "step": step,
+            "score_max": float(scores.max()),
+            "score_mean": float(scores.mean()),
+            "score_p90": float(np.percentile(scores, 90)),
+            "best_f1": best["f1"],
+            "best_th": best["th"],
+            "f1_at_045": sweep[-1]["f1"],
+        }
+        with open(os.path.join(args.out_dir, tag, "spot_telemetry.jsonl"),
+                  "a") as f:
+            f.write(json.dumps(row) + "\n")
+        print(f"[ocr-probe] {tag} step {step}: spot score_max="
+              f"{row['score_max']:.3f} best_f1={row['best_f1']:.2f}"
+              f"@th{row['best_th']}")
+
     # --- stage runner ---------------------------------------------------------
     def run_stage(tag, stage, steps, optim, mmdit_params, testr_params,
                   with_testr, finetune=(), ocr_w=0.01):
@@ -248,6 +389,7 @@ def main():
             model_cfg, vae_cfg, train_cfg,
             testr_cfg if with_testr else None,
             SchedulerConfig(), out_dir=os.path.join(args.out_dir, tag),
+            fresh_logs=not args.resume,
         )
         stage_seed = {"stage1": 11, "stage2": 22, "stage3": 33}[tag]
         state = trainer.init_state(
@@ -265,6 +407,10 @@ def main():
             jax.random.fold_in(rng, 4),
             resume=args.resume,
             deg_sampler=deg_sampler,
+            step_callback=(
+                (lambda st, i: spot_telemetry(st, i, tag))
+                if with_testr else None
+            ),
         )
         if trainer.preempted:
             # the returned state is mid-training (durably checkpointed) —
@@ -286,8 +432,12 @@ def main():
     # finetune=("testr",) matches nothing inside the mmdit subtree -> MMDiT
     # frozen (weight decay included); the testr subtree trains fully via
     # testr_finetune_layer_names=() (train_state.trainable_mask).
+    # 2e-4 + warmup/cosine (round 3 ran constant 1e-4): the from-scratch
+    # d=128 spotter has a short schedule to converge in, and round 3's run
+    # was still improving on every loss when it hit its step budget.
     p2 = run_stage("stage2", "stage2", args.s2_steps,
-                   OptimConfig(testr_lr=1e-4),
+                   OptimConfig(testr_lr=2e-4, lr_scheduler="cosine",
+                               lr_warmup_steps=min(300, args.s2_steps // 4)),
                    p1["mmdit"], None, with_testr=True,
                    finetune=("testr",), ocr_w=1.0)
 
@@ -297,6 +447,8 @@ def main():
                    p2["mmdit"], p2["testr"], with_testr=True)
 
     # --- 5. eval: A (null) vs B (OCR-guided) vs C (oracle) --------------------
+    import time as _time
+
     print("[ocr-probe] sampling held-out scenes (A null / B TSM / C oracle)")
     sampler_cfg = SamplerConfig(
         num_inference_steps=args.infer_steps,
@@ -305,23 +457,16 @@ def main():
         align_method=args.align,
         process_size=size,
     )
-    from dit4sr_tpu.models.mmdit import MMDiT
-
     pipe = SRPipeline(
-        MMDiT(model_cfg), vae, model_cfg, vae_cfg, SchedulerConfig(),
-        sampler_cfg,
+        mmdit, vae, model_cfg, vae_cfg, SchedulerConfig(), sampler_cfg,
     )
-    spotter = TextSpotter(testr_cfg)
     params = {"mmdit": p3["mmdit"], "vae": vae_params, "testr": p3["testr"]}
 
     eval_gt = np.stack([r["image"] for r in eval_recs])
-    deg = jax.jit(
-        lambda k, g: realesrgan_degradation(
-            k, g, deg_sampler(None, g.shape[0]), use_usm=False
-        )[1]
+    lq = np.clip(
+        np.asarray(deg_probe(jax.random.fold_in(rng, 5), jnp.asarray(eval_gt))),
+        0.0, 1.0,
     )
-    lq = np.clip(np.asarray(deg(jax.random.fold_in(rng, 5), jnp.asarray(eval_gt))),
-                 0.0, 1.0)
     lq_j = jnp.asarray(lq)
     rng_s = jax.random.fold_in(rng, 6)
 
@@ -341,15 +486,55 @@ def main():
     sr_a = plain(null_prompts)
     sr_c = plain(oracle_prompts)
 
+    # --- 5a. threshold calibration on TRAIN scenes ----------------------------
+    # The reference's fixed 0.45 (transformer_detector.py:124-153) is tuned
+    # for a converged full-size model; a probe-scale spotter's calibrated
+    # operating point must be measured. One no-feedback guided pass over
+    # held-IN scenes -> final-step scores/recs -> best-F1 threshold.
+    calib_recs = train_recs[: args.calib_scenes]
+    calib_gt_img = np.stack([r["image"] for r in calib_recs])
+    calib_lq = jnp.clip(
+        deg_probe(jax.random.fold_in(rng, 7), jnp.asarray(calib_gt_img)),
+        0.0, 1.0,
+    )
+    calib_sampler = OCRGuidedSampler(
+        pipe, spotter, encoder, caption_style="tag",
+        correct_fn=None, correct_steps=(),
+    )
+    _, calib_log = calib_sampler(
+        params, jax.random.fold_in(rng, 8), calib_lq,
+        [""] * len(calib_recs), return_ocr_log=True,
+    )
+    calib_final = calib_log[-1]
+    calib_sweep = f1_sweep(
+        calib_final.scores, calib_final.recs,
+        [sorted(set(r["text"])) for r in calib_recs], WORDS,
+    )
+    best_f1 = max(r["f1"] for r in calib_sweep)
+    if best_f1 <= 0.0:
+        # nothing informative to calibrate on: keep the reference default
+        # rather than letting a degenerate sweep pick the loosest threshold
+        # (which would flood the TSM prompts with garbage words)
+        threshold = testr_cfg.inference_th_test
+    else:
+        # among F1 ties prefer the strictest threshold (fewer false spots
+        # feeding the prompt at intermediate steps)
+        threshold = max(r["th"] for r in calib_sweep if r["f1"] == best_f1)
+    print(f"[ocr-probe] calibrated threshold {threshold} "
+          f"(train F1 {best_f1:.2f}; sweep {calib_sweep})")
+
     guided = OCRGuidedSampler(
         pipe, spotter, encoder, caption_style="tag",
         correct_fn=lambda words, i: snap_words(words, WORDS),
         correct_steps=tuple(range(args.infer_steps)),
+        threshold=threshold,
     )
+    t0 = _time.perf_counter()
     sr_b, ocr_log = guided(
         params, rng_s, lq_j, null_prompts, return_ocr_log=True,
     )
-    sr_b = np.clip(np.asarray(sr_b), 0.0, 1.0)
+    sr_b = np.clip(np.asarray(sr_b), 0.0, 1.0)  # host pull = hard sync
+    tsm_s_per_image = (_time.perf_counter() - t0) / len(eval_recs)
 
     # word accuracy from the final logged step (raw + snapped)
     final = ocr_log[-1] if ocr_log else None
@@ -365,6 +550,24 @@ def main():
             "raw_f1": f_r, "snapped_precision": p_s,
             "snapped_recall": r_s, "snapped_f1": f_s,
         })
+
+    # score telemetry: per-step distribution + eval-side threshold sweep
+    # (VERDICT r3: without this, "scores at 0.44" and "scores at 0.01" were
+    # indistinguishable in the committed artifact)
+    per_step_scores = [
+        {
+            "step": i,
+            "max": float(res.scores.max()),
+            "mean": float(res.scores.mean()),
+            "p90": float(np.percentile(res.scores, 90)),
+        }
+        for i, res in enumerate(ocr_log)
+    ]
+    eval_sweep = (
+        f1_sweep(final.scores, final.recs,
+                 [sorted(set(r["text"])) for r in eval_recs], WORDS)
+        if final is not None else []
+    )
 
     # full-image + text-crop metrics per variant
     gt_j = jnp.asarray(eval_gt)
@@ -411,11 +614,20 @@ def main():
     result = {
         "aggregate": agg,
         "words": word_rows,
+        "telemetry": {
+            "threshold": threshold,
+            "threshold_default": testr_cfg.inference_th_test,
+            "calibration_sweep_train": calib_sweep,
+            "f1_sweep_eval": eval_sweep,
+            "per_step_scores": per_step_scores,
+            "tsm_s_per_image": tsm_s_per_image,
+        },
         "config": {
             "image_size": size, "vae_steps": args.vae_steps,
             "s1_steps": args.s1_steps, "s2_steps": args.s2_steps,
             "s3_steps": args.s3_steps, "infer_steps": args.infer_steps,
             "guidance": args.guidance, "smoke": args.smoke,
+            "n_train": args.n_train,
         },
     }
     with open(os.path.join(args.out_dir, "metrics.json"), "w") as f:
