@@ -64,6 +64,7 @@ class OCRGuidedSampler:
         correct_fn: Optional[Callable[[List[str], int], List[str]]] = None,
         correct_steps: Tuple[int, ...] = (),
         threshold: Optional[float] = None,
+        spot_every: int = 1,
     ):
         self.pipe = pipeline
         self.spotter = spotter
@@ -76,6 +77,13 @@ class OCRGuidedSampler:
         # reference's fixed 0.45 is tuned for a converged full-size model)
         # needs no retrace. None = use the in-graph keep mask.
         self.threshold = threshold
+        # spotting cadence: 1 = read features + rewrite the prompt every
+        # denoising step (the reference's default TSM protocol); K > 1 spots
+        # only every K-th step and runs a cheaper no-extraction step between
+        # (the reference's VLM analogue corrects only at chosen iterations,
+        # pipeline_dit4sr.py:1288-1379 — cadence is the latency lever when
+        # per-step spotting + host re-encode dominates)
+        self.spot_every = max(1, spot_every)
         self.correct_steps = set(correct_steps)
         self._n_ext = num_streams_extracted(pipeline.model_cfg)
         # memoized per num_steps: __call__ is invoked repeatedly (per-step
@@ -138,8 +146,37 @@ class OCRGuidedSampler:
             preds = spotter.predict(params["testr"], maps)
             return new_latents, preds
 
-        self._step_fns[num_steps] = step
-        return step
+        @jax.jit
+        def plain_step(params, i, latents, control_latent, text_embeds,
+                       pooled_embeds, neg_text_embeds=None,
+                       neg_pooled_embeds=None):
+            """Non-spotting step (spot_every > 1 cadence): no feature
+            extraction, no TESTR — just the velocity + Euler update."""
+            b = latents.shape[0]
+            if use_cfg:
+                latents_in = jnp.concatenate([latents, latents])
+                control_in = jnp.concatenate([control_latent, control_latent])
+                text_in = jnp.concatenate([neg_text_embeds, text_embeds])
+                pooled_in = jnp.concatenate([neg_pooled_embeds, pooled_embeds])
+            else:
+                latents_in, control_in = latents, control_latent
+                text_in, pooled_in = text_embeds, pooled_embeds
+            t = jnp.broadcast_to(sched.timesteps[i], (latents_in.shape[0],))
+            out, _ = pipe.mmdit.apply(
+                params["mmdit"],
+                latents_in.astype(mcfg.dtype),
+                control_in.astype(mcfg.dtype),
+                text_in.astype(mcfg.dtype),
+                pooled_in.astype(mcfg.dtype),
+                t,
+            )
+            if use_cfg:
+                uncond, cond = out[:b], out[b:]
+                out = uncond + scale * (cond - uncond)
+            return sched.step(i, latents, out)
+
+        self._step_fns[num_steps] = (step, plain_step)
+        return self._step_fns[num_steps]
 
     def decode_predictions(self, preds: SpotterPredictions) -> OCRStepResult:
         recs = np.asarray(preds.recs)
@@ -188,10 +225,16 @@ class OCRGuidedSampler:
         else:
             latents = noise
 
-        step_fn = self.make_step_fn(n)
+        step_fn, plain_step_fn = self.make_step_fn(n)
         text_embeds, pooled = self.encode_prompt_fn(initial_prompts)
         ocr_log = []
         for i in range(n):
+            if i % self.spot_every:
+                latents = plain_step_fn(
+                    params, jnp.asarray(i), latents, control_latent,
+                    text_embeds, pooled, neg_text, neg_pooled,
+                )
+                continue
             latents, preds = step_fn(
                 params, jnp.asarray(i), latents, control_latent,
                 text_embeds, pooled, neg_text, neg_pooled,

@@ -10,11 +10,15 @@ TPU adaptations:
   * tile grids are static for a given input size, and all tiles are stacked
     on the batch axis, so one batched MMDiT/VAE call covers every tile —
     the reference loops tiles sequentially per step;
-  * the VAE tiles use generous overlap + gaussian blending instead of
-    vaehook's cross-tile GroupNorm statistic aggregation (the reference
-    needs stat aggregation because its tiles barely overlap; with >= 25%
-    overlap blended seams are below bf16 noise). lax.map bounds peak memory
-    when the tile batch is large.
+  * the VAE tiles combine generous overlap + gaussian blending with
+    CROSS-TILE GroupNorm statistic synchronization (gn_sync, default ON —
+    see tiled_vae_decode): every GroupNorm in the decoder normalizes with
+    statistics aggregated across all tiles, the TPU-shaped equivalent of
+    vaehook's GroupNormParam.summary (utils/vaehook.py:536-827). Hardware
+    validation with trained probe weights (tools/validate_tiled_vae.py,
+    artifacts/tiled_vae_validation.json): gn_sync reaches 42.3 dB vs the
+    untiled decode where plain blending alone gets 22.9 dB. lax.map bounds
+    peak memory when the tile batch is large.
 """
 
 from __future__ import annotations

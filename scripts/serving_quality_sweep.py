@@ -51,10 +51,6 @@ if os.environ.get("JAX_PLATFORMS"):
     except Exception:
         pass
 
-from dit4sr_tpu.utils.compile_cache import enable_persistent_cache
-
-enable_persistent_cache()  # axon compile service can degrade to ~10 min/compile
-
 import jax.numpy as jnp
 import numpy as np
 
@@ -87,7 +83,15 @@ def main():
     ap.add_argument("--smoke", action="store_true",
                     help="tiny geometry; expects --probe_dir from a --smoke "
                          "probe run")
+    ap.add_argument("--no_compile_cache", action="store_true")
     args = ap.parse_args()
+
+    # after argparse (not at import) so --help/--smoke runs don't write a
+    # cache dir (advisor r3); the sweep pays ~11 pipeline compiles otherwise
+    if not args.no_compile_cache:
+        from dit4sr_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
 
     from dit4sr_tpu.config import SamplerConfig, SchedulerConfig
     from dit4sr_tpu.data.degradation import realesrgan_degradation

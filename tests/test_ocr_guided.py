@@ -69,6 +69,54 @@ def test_ocr_guided_sampling_runs():
     assert ocr_log[0].scores.shape == (1, testr_cfg.num_queries)
 
 
+def test_spot_every_cadence_matches_per_step_latents():
+    """spot_every > 1 runs a cheaper no-extraction step between spotting
+    steps. When no words are ever kept (fixed prompts throughout), the
+    latent trajectory must be IDENTICAL to per-step spotting — the plain
+    step is the same math minus feature extraction."""
+    mcfg = mmdit_tiny(
+        in_channels=4, out_channels=4, sample_size=8,
+        feat_extract_layers=(0, 1), feat_extract="hq+control",
+    )
+    vcfg = vae_tiny()
+    mmdit, mparams = init_mmdit(jax.random.PRNGKey(0), mcfg, text_len=TEXT_LEN)
+    vae = AutoencoderKL(vcfg)
+    vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3), vcfg.dtype))
+    testr_cfg = make_testr_tiny(
+        num_feature_levels=2, num_dit_layers=2, dit_dim=mcfg.inner_dim // 4 * 2,
+    )
+    spotter = TextSpotter(testr_cfg, feat_hw=(4, 4))
+    feats0 = jnp.zeros((2, 1, 4, 4, testr_cfg.dit_dim), jnp.float32)
+    tparams = spotter.init(jax.random.PRNGKey(2), feats0)
+    pipe = SRPipeline(
+        mmdit, vae, mcfg, vcfg, SchedulerConfig(),
+        SamplerConfig(num_inference_steps=4, align_method="nofix"),
+    )
+
+    def encode_fixed(prompts):
+        # deterministic in len only -> re-encodes are bit-identical, so the
+        # trajectory difference can only come from the step math itself
+        rng = np.random.default_rng(7)
+        return (
+            jnp.asarray(rng.normal(size=(len(prompts), TEXT_LEN,
+                                         mcfg.joint_attention_dim)), jnp.float32),
+            jnp.asarray(rng.normal(size=(len(prompts),
+                                         mcfg.pooled_projection_dim)), jnp.float32),
+        )
+
+    params = {"mmdit": mparams, "vae": vparams, "testr": tparams}
+    lq = jnp.asarray(np.random.default_rng(5).uniform(size=(1, 32, 32, 3)),
+                     jnp.float32)
+    # threshold=1.1: nothing kept, prompts never rewritten
+    s1 = OCRGuidedSampler(pipe, spotter, encode_fixed, threshold=1.1)
+    s3 = OCRGuidedSampler(pipe, spotter, encode_fixed, threshold=1.1,
+                          spot_every=3)
+    img1 = s1(params, jax.random.PRNGKey(3), lq, ["p"])
+    img3 = s3(params, jax.random.PRNGKey(3), lq, ["p"])
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img3),
+                               rtol=0, atol=0)
+
+
 def test_ocr_guided_cfg_runs():
     """TSM with CFG (the reference's val configs run guidance > 1 with TSM;
     round-1 silently ignored guidance_scale on this path)."""
