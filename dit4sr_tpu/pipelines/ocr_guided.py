@@ -65,6 +65,7 @@ class OCRGuidedSampler:
         correct_steps: Tuple[int, ...] = (),
         threshold: Optional[float] = None,
         spot_every: int = 1,
+        correct_with_image: bool = False,
     ):
         self.pipe = pipeline
         self.spotter = spotter
@@ -84,6 +85,12 @@ class OCRGuidedSampler:
         # pipeline_dit4sr.py:1288-1379 — cadence is the latency lever when
         # per-step spotting + host re-encode dominates)
         self.spot_every = max(1, spot_every)
+        # reference Qwen-VL correction sees the CURRENT decoded preview
+        # (pipeline_dit4sr.py:1288-1379): with correct_with_image=True the
+        # sampler decodes the latent at each correction step and calls
+        # correct_fn(words, step, image=preview_b) — pair with
+        # text.vlm.VLMCorrectionAgent
+        self.correct_with_image = correct_with_image
         self.correct_steps = set(correct_steps)
         self._n_ext = num_streams_extracted(pipeline.model_cfg)
         # memoized per num_steps: __call__ is invoked repeatedly (per-step
@@ -242,10 +249,19 @@ class OCRGuidedSampler:
             if i < n - 1:
                 result = self.decode_predictions(preds)
                 ocr_log.append(result)
+                correcting = self.correct_fn is not None and i in self.correct_steps
+                preview = None
+                if correcting and self.correct_with_image:
+                    preview = np.asarray(
+                        pipe.decode_latent(params["vae"], latents)
+                    )
                 prompts = []
                 for b, words in enumerate(result.texts):
-                    if self.correct_fn is not None and i in self.correct_steps:
-                        words = self.correct_fn(words, i)
+                    if correcting:
+                        if preview is not None:
+                            words = self.correct_fn(words, i, image=preview[b])
+                        else:
+                            words = self.correct_fn(words, i)
                     if words:
                         prompts.append(synthesize_prompt(words, self.caption_style))
                     else:

@@ -42,46 +42,13 @@ def test_ocr_correction_agent_parses_llm_response():
 
 @pytest.fixture(scope="module")
 def tiny_vlm_ckpt(tmp_path_factory):
-    """A complete local HF image-text checkpoint at toy size: wordpiece
-    vocab + Blip processor + random-init BlipForConditionalGeneration."""
-    torch = pytest.importorskip("torch")  # noqa: F841
-    from transformers import (
-        BertTokenizerFast,
-        BlipConfig,
-        BlipForConditionalGeneration,
-        BlipImageProcessor,
-        BlipProcessor,
-        BlipTextConfig,
-        BlipVisionConfig,
-    )
+    """A complete local HF image-text checkpoint at toy size (the shipped
+    fixture helper: wordpiece vocab + Blip processor + random-init
+    BlipForConditionalGeneration)."""
+    pytest.importorskip("torch")
+    from dit4sr_tpu.text.vlm import save_tiny_vlm_checkpoint
 
-    d = str(tmp_path_factory.mktemp("tiny_vlm"))
-    vocab = [
-        "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
-        "a", "photo", "text", "the", "##s",
-    ]
-    vp = os.path.join(d, "vocab.txt")
-    with open(vp, "w") as f:
-        f.write("\n".join(vocab))
-    proc = BlipProcessor(
-        image_processor=BlipImageProcessor(size={"height": 32, "width": 32}),
-        tokenizer=BertTokenizerFast(vocab_file=vp),
-    )
-    proc.save_pretrained(d)
-    cfg = BlipConfig.from_text_vision_configs(
-        BlipTextConfig(
-            vocab_size=len(vocab), hidden_size=16, num_hidden_layers=1,
-            num_attention_heads=2, intermediate_size=32,
-            encoder_hidden_size=16, max_position_embeddings=64,
-            bos_token_id=2, eos_token_id=3, pad_token_id=0, sep_token_id=3,
-        ),
-        BlipVisionConfig(
-            hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
-            intermediate_size=32, image_size=32, patch_size=8,
-        ),
-    )
-    BlipForConditionalGeneration(cfg).save_pretrained(d)
-    return d
+    return save_tiny_vlm_checkpoint(str(tmp_path_factory.mktemp("tiny_vlm")))
 
 
 @pytest.mark.slow
@@ -92,3 +59,75 @@ def test_caption_real_hf_invocation(tiny_vlm_ckpt):
     caps = agent.caption([np.random.rand(48, 48, 3).astype(np.float32)])
     assert len(caps) == 1
     assert isinstance(caps[0], str)
+
+
+@pytest.mark.slow
+def test_vlm_correction_mid_sampling(tiny_vlm_ckpt):
+    """The Qwen-VL analogue demonstrated IN the sampling loop: the
+    OCR-guided sampler decodes a preview image at correction steps and a
+    real HF vision2seq model consumes (preview, words) through generate —
+    reference pipeline_dit4sr.py:1288-1379."""
+    import jax
+    import jax.numpy as jnp
+
+    from dit4sr_tpu.config import (
+        SamplerConfig, SchedulerConfig, mmdit_tiny, vae_tiny,
+    )
+    from dit4sr_tpu.config import testr_tiny as make_testr_tiny
+    from dit4sr_tpu.models.mmdit import init_mmdit
+    from dit4sr_tpu.models.testr.detector import TextSpotter
+    from dit4sr_tpu.models.vae import AutoencoderKL
+    from dit4sr_tpu.pipelines.ocr_guided import OCRGuidedSampler
+    from dit4sr_tpu.pipelines.sr_pipeline import SRPipeline
+    from dit4sr_tpu.text.vlm import VLMCorrectionAgent
+
+    mcfg = mmdit_tiny(
+        in_channels=4, out_channels=4, sample_size=8,
+        feat_extract_layers=(0, 1), feat_extract="hq+control",
+    )
+    vcfg = vae_tiny()
+    mmdit, mparams = init_mmdit(jax.random.PRNGKey(0), mcfg, text_len=8)
+    vae = AutoencoderKL(vcfg)
+    vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3), vcfg.dtype))
+    testr_cfg = make_testr_tiny(
+        num_feature_levels=2, num_dit_layers=2, dit_dim=mcfg.inner_dim // 4 * 2,
+    )
+    spotter = TextSpotter(testr_cfg, feat_hw=(4, 4))
+    tparams = spotter.init(
+        jax.random.PRNGKey(2), jnp.zeros((2, 1, 4, 4, testr_cfg.dit_dim))
+    )
+    pipe = SRPipeline(
+        mmdit, vae, mcfg, vcfg, SchedulerConfig(),
+        SamplerConfig(num_inference_steps=3, align_method="nofix"),
+    )
+
+    def encode_fn(prompts):
+        rng = np.random.default_rng(1)
+        return (
+            jnp.asarray(rng.normal(size=(len(prompts), 8, mcfg.joint_attention_dim)),
+                        jnp.float32),
+            jnp.asarray(rng.normal(size=(len(prompts), mcfg.pooled_projection_dim)),
+                        jnp.float32),
+        )
+
+    seen = []
+    agent = VLMCorrectionAgent(model_path=tiny_vlm_ckpt)
+
+    def correct_fn(words, step, image=None):
+        seen.append((step, None if image is None else image.shape))
+        # force a nonempty word list so the VLM generate path always runs
+        return agent(words or ["SIGN"], step, image=image)
+
+    sampler = OCRGuidedSampler(
+        pipe, spotter, encode_fn,
+        correct_fn=correct_fn, correct_steps=(0, 1),
+        correct_with_image=True, threshold=0.0,
+    )
+    params = {"mmdit": mparams, "vae": vparams, "testr": tparams}
+    lq = jnp.asarray(np.random.default_rng(5).uniform(size=(1, 32, 32, 3)),
+                     jnp.float32)
+    img = sampler(params, jax.random.PRNGKey(3), lq, ["p"])
+    assert np.isfinite(np.asarray(img)).all()
+    # corrections ran with decoded previews at both steps
+    assert [s for s, _ in seen] == [0, 1]
+    assert all(shape == (32, 32, 3) for _, shape in seen)
