@@ -41,6 +41,14 @@ def main():
     ap.add_argument("--mmdit_ckpt", default=None)
     ap.add_argument("--vae_ckpt", default=None)
     ap.add_argument("--testr_ckpt", default=None)
+    ap.add_argument("--spot_every", type=int, default=1,
+                    help="pred_tsm spotting cadence (1 = reference default)")
+    ap.add_argument("--spot_threshold", type=float, default=None,
+                    help="override TESTR inference_th_test (calibrated)")
+    ap.add_argument("--vlm_correct", default=None,
+                    help="HF vision2seq ckpt dir: preview-image OCR word "
+                         "correction (reference Qwen-VL hook)")
+    ap.add_argument("--vlm_correct_every", type=int, default=7)
     ap.add_argument("--lora_ckpt", default=None,
                     help="diffusers/PEFT SD3 LoRA .safetensors merged into "
                          "the transformer (SD3LoraLoaderMixin equivalent)")
@@ -185,7 +193,24 @@ def main():
             feat_hw=(latent_size, latent_size),
         )
         params["testr"] = tparams
-        sampler = OCRGuidedSampler(pipe, spotter, encoder)
+        correct_fn = None
+        correct_steps = ()
+        if args.vlm_correct:
+            from dit4sr_tpu.text.vlm import VLMCorrectionAgent
+
+            correct_fn = VLMCorrectionAgent(model_path=args.vlm_correct)
+            correct_steps = tuple(
+                range(0, sampler_cfg.num_inference_steps,
+                      max(1, args.vlm_correct_every))
+            )
+        sampler = OCRGuidedSampler(
+            pipe, spotter, encoder,
+            spot_every=args.spot_every,
+            threshold=args.spot_threshold,
+            correct_fn=correct_fn,
+            correct_steps=correct_steps,
+            correct_with_image=correct_fn is not None,
+        )
     fn = pipe.jit()
 
     # val data: LQ images + optional HQ/anns

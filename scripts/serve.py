@@ -171,7 +171,23 @@ def build_server(args):
             args.testr_ckpt, feat_hw=(latent_hw, latent_hw),
         )
         params["testr"] = tparams
-        tsm_sampler = OCRGuidedSampler(pipe, spotter, encoder)
+        correct_fn = None
+        correct_steps = ()
+        if args.vlm_correct:
+            from dit4sr_tpu.text.vlm import VLMCorrectionAgent
+
+            correct_fn = VLMCorrectionAgent(model_path=args.vlm_correct)
+            correct_steps = tuple(
+                range(0, args.steps, max(1, args.vlm_correct_every))
+            )
+        tsm_sampler = OCRGuidedSampler(
+            pipe, spotter, encoder,
+            spot_every=args.spot_every,
+            threshold=args.spot_threshold,
+            correct_fn=correct_fn,
+            correct_steps=correct_steps,
+            correct_with_image=correct_fn is not None,
+        )
 
     server = SRServer(
         pipe, params, encoder,
@@ -205,6 +221,19 @@ def main():
                          "--testr_ckpt for real spotting")
     ap.add_argument("--testr_ckpt", default=None,
                     help="TESTR .pt/.safetensors for --tsm")
+    ap.add_argument("--spot_every", type=int, default=1,
+                    help="--tsm spotting cadence: 1 = every step (reference "
+                         "default); K spots every Kth step with a cheaper "
+                         "no-extraction step between")
+    ap.add_argument("--spot_threshold", type=float, default=None,
+                    help="override TESTR inference_th_test for --tsm "
+                         "(calibrated value from a probe run)")
+    ap.add_argument("--vlm_correct", default=None,
+                    help="HF vision2seq checkpoint dir: correct OCR words "
+                         "with the decoded preview at --vlm_correct_every "
+                         "cadence (reference Qwen-VL hook)")
+    ap.add_argument("--vlm_correct_every", type=int, default=7,
+                    help="correction-step cadence for --vlm_correct")
     ap.add_argument("--variant", default="base",
                     choices=("base", "ocr2hq", "ocr2hq2ocr"),
                     help="MMDiT variant (the reference's dit4sr / "
