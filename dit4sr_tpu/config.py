@@ -253,6 +253,14 @@ class TESTRConfig:
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
     aux_loss: bool = True
+    # recognition-CE weight on PAD positions (target == voc_size). The
+    # reference averages uniformly over all max_text_len positions
+    # (transformer_detector.py F.cross_entropy) — with short words most
+    # positions are pad, and a from-scratch recognizer can sit at a low
+    # loss by emitting pad everywhere while real characters stay at
+    # chance (observed in the OCR quality probe). 1.0 = reference parity;
+    # <1 rebalances gradient toward real characters.
+    text_pad_weight: float = 1.0
     # static padding bound for per-image text instances (XLA ragged handling)
     max_instances: int = 32
     dtype: Any = jnp.float32          # fp32: deformable attn is precision-sensitive

@@ -143,9 +143,15 @@ def criterion(
         pred_txt = _gather_queries(texts, match)       # (B, I, Nw, V+1)
         logp = jax.nn.log_softmax(pred_txt, axis=-1)
         nll = -jnp.take_along_axis(logp, targets.texts[..., None], axis=-1)[..., 0]
-        # reference F.cross_entropy averages over matched instances x words
-        n_words = jnp.clip((matched.sum() * cfg.max_text_len), 1.0)
-        loss_txt = (nll * matched[..., None]).sum() / n_words
+        # reference F.cross_entropy averages over matched instances x words;
+        # text_pad_weight rebalances pad vs real-character positions (1.0
+        # reproduces the reference exactly: weights all-ones -> weighted
+        # count == matched * max_text_len)
+        txt_w = jnp.where(
+            targets.texts == cfg.voc_size, cfg.text_pad_weight, 1.0
+        ) * matched[..., None]
+        n_words = jnp.clip(txt_w.sum(), 1.0)
+        loss_txt = (nll * txt_w).sum() / n_words
 
         suffix = "" if l == n_layers - 1 else f"_{l}"
         losses[f"loss_ce{suffix}"] = loss_ce * cfg.point_class_weight

@@ -363,7 +363,7 @@ def main():
 
     # --- stage runner ---------------------------------------------------------
     def run_stage(tag, stage, steps, optim, mmdit_params, testr_params,
-                  with_testr, finetune=(), ocr_w=0.01):
+                  with_testr, finetune=(), ocr_w=0.01, train_kw=None):
         """One Trainer stage under out_dir/<tag>; returns final params dict.
         Persists a pickle so --resume/--eval_only can skip it."""
         pkl = os.path.join(args.out_dir, f"{tag}.pkl")
@@ -384,10 +384,16 @@ def main():
             checkpointing_steps=max(steps // 3, 1),
             ocr_loss_weight=ocr_w,
             optim=optim,
+            **(train_kw or {}),
         )
         trainer = Trainer(
             model_cfg, vae_cfg, train_cfg,
-            testr_cfg if with_testr else None,
+            # probe spotter trains from scratch on a short schedule: pads
+            # dominate 8/12 recognition positions, so reference-parity
+            # uniform text CE lets the head sit at "pad everywhere" while
+            # characters stay at chance (r3 failure + r4 first half).
+            # 0.25 rebalances gradient toward real characters.
+            testr_cfg.with_(text_pad_weight=0.25) if with_testr else None,
             SchedulerConfig(), out_dir=os.path.join(args.out_dir, tag),
             fresh_logs=not args.resume,
         )
@@ -439,7 +445,15 @@ def main():
                    OptimConfig(testr_lr=2e-4, lr_scheduler="cosine",
                                lr_warmup_steps=min(300, args.s2_steps // 4)),
                    p1["mmdit"], None, with_testr=True,
-                   finetune=("testr",), ocr_w=1.0)
+                   finetune=("testr",), ocr_w=1.0,
+                   # low-sigma curriculum: stage-2's total loss is OCR-only,
+                   # but features are extracted at the diffusion sigma — at
+                   # the reference's logit_mean=0.0 half the batch carries
+                   # noise-dominated hq features and recognition learns at
+                   # half speed (r3/r4 telemetry). sigmoid(-1) ~ 0.27 median
+                   # sigma concentrates supervision where the TSM sampler
+                   # actually reads words (mid-to-late denoising steps).
+                   train_kw=dict(logit_mean=-1.0))
 
     # --- 4. stage 3: joint ----------------------------------------------------
     p3 = run_stage("stage3", "stage3", args.s3_steps,

@@ -268,3 +268,30 @@ def test_solve_assignment_topk_prefilter_matches_full_solve():
             assert len(set(filt[b, :n].tolist())) == n
             np.testing.assert_allclose(ck, cf, atol=1e-5), (trial, b)
             assert (filt[b, n:] == -1).all()
+
+
+def test_text_pad_weight_reweights_only_pad_positions():
+    """text_pad_weight=1.0 is reference parity; !=1 must change the loss
+    ONLY when pad positions (target == voc_size) exist."""
+    cfg = _cfg()
+    spotter = TextSpotter(cfg, feat_hw=(HW, HW))
+    feats = _feats(cfg)
+    params = spotter.init(jax.random.PRNGKey(0), feats)
+
+    # all-real-character targets: weight applies to nothing -> exact parity
+    full = _targets(cfg)
+    t_full_1, _ = spotter.loss(params, feats, full)
+    spotter_w = TextSpotter(cfg.with_(text_pad_weight=0.25), feat_hw=(HW, HW))
+    t_full_w, _ = spotter_w.loss(params, feats, full)
+    assert float(t_full_1) == float(t_full_w)
+
+    # padded tails: down-weighting pads must change loss_texts
+    padded = jax.tree.map(lambda x: x, full)
+    texts = np.asarray(full.texts).copy()
+    texts[..., cfg.max_text_len // 2:] = cfg.voc_size
+    padded = OCRTargets(full.labels, full.boxes, full.ctrl_points,
+                        jnp.asarray(texts), full.valid)
+    _, l1 = spotter.loss(params, feats, padded)
+    _, lw = spotter_w.loss(params, feats, padded)
+    assert float(l1["loss_texts"]) != float(lw["loss_texts"])
+    assert np.isfinite(float(lw["loss_texts"]))
