@@ -255,7 +255,8 @@ class TESTRConfig:
     aux_loss: bool = True
     # recognition-CE weight on PAD positions (target == voc_size). The
     # reference averages uniformly over all max_text_len positions
-    # (transformer_detector.py F.cross_entropy) — with short words most
+    # (adet/modeling/testr/losses.py loss_texts F.cross_entropy) — with
+    # short words most
     # positions are pad, and a from-scratch recognizer can sit at a low
     # loss by emitting pad everywhere while real characters stay at
     # chance (observed in the OCR quality probe). 1.0 = reference parity;

@@ -286,7 +286,6 @@ def test_text_pad_weight_reweights_only_pad_positions():
     assert float(t_full_1) == float(t_full_w)
 
     # padded tails: down-weighting pads must change loss_texts
-    padded = jax.tree.map(lambda x: x, full)
     texts = np.asarray(full.texts).copy()
     texts[..., cfg.max_text_len // 2:] = cfg.voc_size
     padded = OCRTargets(full.labels, full.boxes, full.ctrl_points,
