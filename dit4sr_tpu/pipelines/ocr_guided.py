@@ -40,6 +40,9 @@ class OCRStepResult:
     keep: np.ndarray                # (B, K)
     polygons: np.ndarray            # (B, K, Np, 2)
     recs: np.ndarray = None         # (B, K) argmax char ids for EVERY query
+    # accumulated cross-step word belief at this step (vote_frac mode): the
+    # words that built this step's prompt. None when voting is off.
+    voted_texts: Optional[List[List[str]]] = None
 
     def topk_words(self, k: int) -> List[List[str]]:
         """Per image: words of the k highest-scoring queries regardless of
@@ -66,6 +69,7 @@ class OCRGuidedSampler:
         threshold: Optional[float] = None,
         spot_every: int = 1,
         correct_with_image: bool = False,
+        vote_frac: Optional[float] = None,
     ):
         self.pipe = pipeline
         self.spotter = spotter
@@ -91,6 +95,19 @@ class OCRGuidedSampler:
         # correct_fn(words, step, image=preview_b) — pair with
         # text.vlm.VLMCorrectionAgent
         self.correct_with_image = correct_with_image
+        # Temporal voting over spotting steps (None = reference-parity
+        # per-step prompts). Motivation (artifacts/spotter_diagnosis.json):
+        # the spotter's per-step reads are noisy and WORST at low sigma —
+        # exactly where a final-step-only read happens — while true words
+        # recur across the mid-sigma sweet spot and garbage reads vary
+        # step to step. With vote_frac=v the prompt at each step is built
+        # from the words seen (post-correct_fn) in >= v of the spotting
+        # steps so far, ranked by vote count; the final belief is exposed
+        # per step as OCRStepResult.voted_texts. This is the zero-asset
+        # analogue of the reference accumulating VLM-corrected words
+        # across iterations (pipeline_dit4sr.py:1288-1379) rather than
+        # trusting a single read.
+        self.vote_frac = vote_frac
         self.correct_steps = set(correct_steps)
         self._n_ext = num_streams_extracted(pipeline.model_cfg)
         # memoized per num_steps: __call__ is invoked repeatedly (per-step
@@ -235,6 +252,9 @@ class OCRGuidedSampler:
         step_fn, plain_step_fn = self.make_step_fn(n)
         text_embeds, pooled = self.encode_prompt_fn(initial_prompts)
         ocr_log = []
+        # vote accumulators: per image, word -> (count, first-seen order)
+        votes: List[Dict[str, List[float]]] = [dict() for _ in initial_prompts]
+        n_spot = 0
         for i in range(n):
             if i % self.spot_every:
                 latents = plain_step_fn(
@@ -256,12 +276,30 @@ class OCRGuidedSampler:
                         pipe.decode_latent(params["vae"], latents)
                     )
                 prompts = []
+                if self.vote_frac is not None:
+                    n_spot += 1
+                    result.voted_texts = []
                 for b, words in enumerate(result.texts):
                     if correcting:
                         if preview is not None:
                             words = self.correct_fn(words, i, image=preview[b])
                         else:
                             words = self.correct_fn(words, i)
+                    if self.vote_frac is not None:
+                        for w in set(words):
+                            if w in votes[b]:
+                                votes[b][w][0] += 1.0
+                            else:
+                                votes[b][w] = [1.0, len(votes[b])]
+                        need = max(1.0, self.vote_frac * n_spot)
+                        words = [
+                            w for w, (c, _) in sorted(
+                                votes[b].items(),
+                                key=lambda kv: (-kv[1][0], kv[1][1]),
+                            )
+                            if c >= need
+                        ]
+                        result.voted_texts.append(words)
                     if words:
                         prompts.append(synthesize_prompt(words, self.caption_style))
                     else:

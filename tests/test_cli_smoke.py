@@ -329,7 +329,7 @@ def test_quality_probe_ocr_cli_smoke(tmp_path):
     agg = m["aggregate"]
     for variant in ("A_null", "B_tsm", "C_oracle", "LQ"):
         assert "psnr" in agg[variant] and agg[variant]["psnr"] == agg[variant]["psnr"]
-    assert "word_f1_snapped" in agg
+    assert "word_f1_voted" in agg and "word_f1_snapped_last_step" in agg
     assert len(m["words"]) == 2
 
     # chain the serving-quality sweep off the probe's smoke pickles (one

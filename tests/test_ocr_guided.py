@@ -155,3 +155,101 @@ def test_ocr_guided_cfg_runs():
     img = sampler(params, jax.random.PRNGKey(3), lq, ["a sign"])
     assert img.shape == (1, 32, 32, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_vote_accumulates_and_filters_one_off_words():
+    """Temporal voting (vote_frac): a word injected at every spotting step
+    must survive into the final belief; a word injected once must be voted
+    out once enough steps accumulate; belief is ranked by vote count."""
+    mcfg = mmdit_tiny(
+        in_channels=4, out_channels=4, sample_size=8,
+        feat_extract_layers=(0, 1), feat_extract="hq+control",
+    )
+    vcfg = vae_tiny()
+    mmdit, mparams = init_mmdit(jax.random.PRNGKey(0), mcfg, text_len=TEXT_LEN)
+    vae = AutoencoderKL(vcfg)
+    vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3), vcfg.dtype))
+    testr_cfg = make_testr_tiny(
+        num_feature_levels=2, num_dit_layers=2, dit_dim=mcfg.inner_dim // 4 * 2,
+    )
+    spotter = TextSpotter(testr_cfg, feat_hw=(4, 4))
+    feats0 = jnp.zeros((2, 1, 4, 4, testr_cfg.dit_dim), jnp.float32)
+    tparams = spotter.init(jax.random.PRNGKey(2), feats0)
+    n = 6
+    pipe = SRPipeline(
+        mmdit, vae, mcfg, vcfg, SchedulerConfig(),
+        SamplerConfig(num_inference_steps=n, align_method="nofix"),
+    )
+
+    prompts_seen = []
+
+    def encode_fixed(prompts):
+        prompts_seen.append(list(prompts))
+        rng = np.random.default_rng(7)
+        return (
+            jnp.asarray(rng.normal(size=(len(prompts), TEXT_LEN,
+                                         mcfg.joint_attention_dim)), jnp.float32),
+            jnp.asarray(rng.normal(size=(len(prompts),
+                                         mcfg.pooled_projection_dim)), jnp.float32),
+        )
+
+    # threshold=1.1 keeps nothing from the spotter; correct_fn injects a
+    # controlled read per step: REAL every step, junk<i> once each
+    inject = lambda words, i: ["REAL", f"junk{i}"]
+    sampler = OCRGuidedSampler(
+        pipe, spotter, encode_fixed, caption_style="tag",
+        correct_fn=inject, correct_steps=tuple(range(n)),
+        threshold=1.1, vote_frac=0.5,
+    )
+    params = {"mmdit": mparams, "vae": vparams, "testr": tparams}
+    lq = jnp.asarray(np.random.default_rng(5).uniform(size=(1, 32, 32, 3)),
+                     jnp.float32)
+    _, log = sampler(params, jax.random.PRNGKey(3), lq, ["init"],
+                     return_ocr_log=True)
+    assert len(log) == n - 1
+    # first spotting step: need = max(1, .5*1) = 1 -> both words believed
+    assert log[0].voted_texts == [["REAL", "junk0"]]
+    # final belief: REAL has n-1 votes, each junk has 1 < 0.5*(n-1)
+    assert log[-1].voted_texts == [["REAL"]]
+    # the rewritten prompt is built from the belief, not the raw step read
+    assert "junk3" not in " ".join(prompts_seen[-1])
+    assert "REAL" in " ".join(prompts_seen[-1])
+
+
+def test_vote_none_is_reference_parity():
+    """vote_frac=None must leave voted_texts unset and prompts per-step."""
+    mcfg = mmdit_tiny(
+        in_channels=4, out_channels=4, sample_size=8,
+        feat_extract_layers=(0, 1), feat_extract="hq+control",
+    )
+    vcfg = vae_tiny()
+    mmdit, mparams = init_mmdit(jax.random.PRNGKey(0), mcfg, text_len=TEXT_LEN)
+    vae = AutoencoderKL(vcfg)
+    vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3), vcfg.dtype))
+    testr_cfg = make_testr_tiny(
+        num_feature_levels=2, num_dit_layers=2, dit_dim=mcfg.inner_dim // 4 * 2,
+    )
+    spotter = TextSpotter(testr_cfg, feat_hw=(4, 4))
+    feats0 = jnp.zeros((2, 1, 4, 4, testr_cfg.dit_dim), jnp.float32)
+    tparams = spotter.init(jax.random.PRNGKey(2), feats0)
+    pipe = SRPipeline(
+        mmdit, vae, mcfg, vcfg, SchedulerConfig(),
+        SamplerConfig(num_inference_steps=3, align_method="nofix"),
+    )
+
+    def encode_fixed(prompts):
+        rng = np.random.default_rng(7)
+        return (
+            jnp.asarray(rng.normal(size=(len(prompts), TEXT_LEN,
+                                         mcfg.joint_attention_dim)), jnp.float32),
+            jnp.asarray(rng.normal(size=(len(prompts),
+                                         mcfg.pooled_projection_dim)), jnp.float32),
+        )
+
+    sampler = OCRGuidedSampler(pipe, spotter, encode_fixed, threshold=1.1)
+    params = {"mmdit": mparams, "vae": vparams, "testr": tparams}
+    lq = jnp.asarray(np.random.default_rng(5).uniform(size=(1, 32, 32, 3)),
+                     jnp.float32)
+    _, log = sampler(params, jax.random.PRNGKey(3), lq, ["p"],
+                     return_ocr_log=True)
+    assert all(r.voted_texts is None for r in log)
