@@ -70,6 +70,7 @@ class OCRGuidedSampler:
         spot_every: int = 1,
         correct_with_image: bool = False,
         vote_frac: Optional[float] = None,
+        vote_topk: Optional[int] = None,
     ):
         self.pipe = pipeline
         self.spotter = spotter
@@ -108,6 +109,12 @@ class OCRGuidedSampler:
         # across iterations (pipeline_dit4sr.py:1288-1379) rather than
         # trusting a single read.
         self.vote_frac = vote_frac
+        # Cap the belief at the top-K words by vote count (ties: first
+        # seen). Without a cap the belief accretes every persistent misread
+        # — and a wrong word fed into the prompt tends to get RENDERED and
+        # then re-read (feedback amplification), so the set only grows.
+        # K should track the expected instance count per image.
+        self.vote_topk = vote_topk
         self.correct_steps = set(correct_steps)
         self._n_ext = num_streams_extracted(pipeline.model_cfg)
         # memoized per num_steps: __call__ is invoked repeatedly (per-step
@@ -299,6 +306,8 @@ class OCRGuidedSampler:
                             )
                             if c >= need
                         ]
+                        if self.vote_topk is not None:
+                            words = words[: self.vote_topk]
                         result.voted_texts.append(words)
                     if words:
                         prompts.append(synthesize_prompt(words, self.caption_style))

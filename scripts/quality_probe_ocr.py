@@ -525,7 +525,21 @@ def main():
         params, jax.random.fold_in(rng, 8), calib_lq,
         [""] * len(calib_recs), return_ocr_log=True,
     )
+    def dump_spot_log(tag_name, log):
+        """Per-step raw spotter outputs (scores/recs/keep) -> NPZ, so vote /
+        threshold hyperparameters are tunable OFFLINE on the calib scenes
+        (tools/tune_tsm_vote.py) without re-running the sampler."""
+        if not log:
+            return
+        np.savez_compressed(
+            os.path.join(args.out_dir, f"{tag_name}_spot_log.npz"),
+            scores=np.stack([r.scores for r in log]),
+            recs=np.stack([r.recs for r in log]),
+            keep=np.stack([r.keep for r in log]),
+        )
+
     calib_final = calib_log[-1]
+    dump_spot_log("calib", calib_log)
     calib_sweep = f1_sweep(
         calib_final.scores, calib_final.recs,
         [sorted(set(r["text"])) for r in calib_recs], WORDS,
@@ -556,6 +570,7 @@ def main():
     )
     sr_b = np.clip(np.asarray(sr_b), 0.0, 1.0)  # host pull = hard sync
     tsm_s_per_image = (_time.perf_counter() - t0) / len(eval_recs)
+    dump_spot_log("eval", ocr_log)
 
     # word accuracy: the voted final belief (gates) + final-step-only reads
     final = ocr_log[-1] if ocr_log else None

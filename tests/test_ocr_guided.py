@@ -215,6 +215,18 @@ def test_vote_accumulates_and_filters_one_off_words():
     assert "junk3" not in " ".join(prompts_seen[-1])
     assert "REAL" in " ".join(prompts_seen[-1])
 
+    # vote_topk caps the belief at the K highest-vote words (tie: first seen)
+    sampler_k = OCRGuidedSampler(
+        pipe, spotter, encode_fixed, caption_style="tag",
+        correct_fn=lambda words, i: ["AAA", "BBB"] if i else ["AAA"],
+        correct_steps=tuple(range(n)),
+        threshold=1.1, vote_frac=0.15, vote_topk=1,
+    )
+    _, log_k = sampler_k(params, jax.random.PRNGKey(3), lq, ["init"],
+                         return_ocr_log=True)
+    # AAA seen every step, BBB from step 1 on -> AAA outranks, cap keeps it
+    assert log_k[-1].voted_texts == [["AAA"]]
+
 
 def test_vote_none_is_reference_parity():
     """vote_frac=None must leave voted_texts unset and prompts per-step."""
