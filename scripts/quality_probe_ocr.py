@@ -207,6 +207,12 @@ def main():
     ap.add_argument("--calib_scenes", type=int, default=16,
                     help="TRAIN scenes used to calibrate the inference "
                          "threshold after stage 3 (never the eval scenes)")
+    ap.add_argument("--vote_frac", type=float, default=0.25,
+                    help="TSM temporal-voting admission fraction "
+                         "(tools/tune_tsm_vote.py calibrates this offline)")
+    ap.add_argument("--vote_topk", type=int, default=0,
+                    help="cap the TSM belief at the top-K voted words "
+                         "(0 = uncapped)")
     ap.add_argument("--no_compile_cache", action="store_true")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny geometry, a handful of steps: wiring only")
@@ -562,7 +568,8 @@ def main():
         correct_fn=lambda words, i: snap_words(words, WORDS),
         correct_steps=tuple(range(args.infer_steps)),
         threshold=threshold,
-        vote_frac=0.25,
+        vote_frac=args.vote_frac,
+        vote_topk=args.vote_topk or None,
     )
     t0 = _time.perf_counter()
     sr_b, ocr_log = guided(
@@ -673,6 +680,7 @@ def main():
             "s3_steps": args.s3_steps, "infer_steps": args.infer_steps,
             "guidance": args.guidance, "smoke": args.smoke,
             "n_train": args.n_train,
+            "vote_frac": args.vote_frac, "vote_topk": args.vote_topk or None,
         },
     }
     with open(os.path.join(args.out_dir, "metrics.json"), "w") as f:
