@@ -298,10 +298,17 @@ def main():
 
         schedule = (args.infer_steps, max(args.infer_steps // 2, 1),
                     max(args.infer_steps // 4, 1))
+
+        def _progress(n_steps, k, metrics):
+            if k % 100 == 0:
+                print(f"[sweep] distill->{n_steps}: step {k} loss "
+                      f"{float(metrics['distill_loss']):.4f}", flush=True)
+
         results = distill_phases(
             MMDiT(model_cfg), mparams_fp32, batches_fn, schedule,
             args.distill_phase_steps, jax.random.fold_in(rng, 9),
             SchedulerConfig(), learning_rate=args.distill_lr,
+            on_metrics=_progress,
         )
         for res in results:
             row, sr = run_mode(
