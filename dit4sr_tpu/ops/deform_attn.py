@@ -501,13 +501,20 @@ def ms_deform_attn(
 ) -> jnp.ndarray:
     """Dispatch between the XLA gather core and the Pallas VMEM kernel.
 
-    impl: "auto" (pallas on TPU when levels are uniform, else xla),
-    "pallas" (interpret-mode off-TPU, for tests), "pallas_phased" (the
-    phase-split kernel variant — see _fwd_kernel_phased), "xla"."""
+    impl: "auto" (pallas_phased on TPU when levels are uniform, else xla),
+    "pallas" (the original looped kernel), "pallas_phased" (the phase-split
+    variant — see _fwd_kernel_phased), "xla". Measured on the v5e at the
+    full encoder geometry (B=2, M=8, 4x64x64, Q=16384, P=4, 8-chained,
+    tools/bench_deform_kernel.py, 2026-08-21): phased fwd 31.8 ms/call vs
+    looped 127.5 (4.0x), fwd+bwd 112.9 vs 387.3 (3.4x), identical
+    checksums — so "auto" picks phased."""
     shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
     uniform = len(set(shapes)) == 1 and shapes[0][0] >= 2 and shapes[0][1] >= 2
     if impl == "auto":
-        impl = "pallas" if (jax.default_backend() != "cpu" and uniform) else "xla"
+        impl = (
+            "pallas_phased" if (jax.default_backend() != "cpu" and uniform)
+            else "xla"
+        )
     if impl.startswith("pallas"):
         if not uniform:
             raise NotImplementedError(f"pallas path needs uniform levels, got {shapes}")
