@@ -293,7 +293,11 @@ class OCRGuidedSampler:
                         else:
                             words = self.correct_fn(words, i)
                     if self.vote_frac is not None:
-                        for w in set(words):
+                        # dict.fromkeys, NOT set(): set iteration order
+                        # depends on string-hash randomization, which would
+                        # make belief order (and vote_topk truncation, and
+                        # the prompts) nondeterministic across processes
+                        for w in dict.fromkeys(words):
                             if w in votes[b]:
                                 votes[b][w][0] += 1.0
                             else:
