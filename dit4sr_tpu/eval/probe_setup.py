@@ -30,11 +30,19 @@ class ProbeGeometry(NamedTuple):
     text_len: int
 
 
-def ocr_probe_geometry(image_size: int, smoke: bool) -> ProbeGeometry:
+def ocr_probe_geometry(image_size: int, smoke: bool,
+                       spotter_preset: str = "v1") -> ProbeGeometry:
     """The OCR probe's /4 VAE + 6-layer MMDiT (+feature taps) + spotter.
 
     Must stay in lockstep with any pickles already trained under
     artifacts/quality_probe_ocr — changing it invalidates them.
+
+    spotter_preset only changes the TESTR geometry (VAE/MMDiT stay pickle-
+    compatible across presets, so stage-1 weights are reusable):
+      v1 — d=128, 3+3 layers (the r3-r5 probe; held-out word-F1 ceiling
+           0.43 measured across the whole vote-config space — capacity-
+           bound per artifacts/quality_probe_ocr/NOTES.md)
+      v2 — d=192, 4+4 layers, dim_ff 768 (the r5 capacity fix)
     """
     from dit4sr_tpu.config import (
         MMDiTConfig, TESTRConfig, VAEConfig, mmdit_tiny, testr_tiny, vae_tiny,
@@ -86,12 +94,16 @@ def ocr_probe_geometry(image_size: int, smoke: bool) -> ProbeGeometry:
         # modest spotter: 2 levels over 64x64 maps (8192 enc tokens), d=128.
         # dit_dim must equal the unpatchified channel count
         # inner_dim/(p^2) * 2 streams = 384/4*2 = 192.
+        if spotter_preset == "v2":
+            d_model, nlayers, dff = 192, 4, 768
+        else:
+            d_model, nlayers, dff = 128, 3, 512
         testr_cfg = TESTRConfig(
-            d_model=128,
+            d_model=d_model,
             nheads=8,
-            num_encoder_layers=3,
-            num_decoder_layers=3,
-            dim_feedforward=512,
+            num_encoder_layers=nlayers,
+            num_decoder_layers=nlayers,
+            dim_feedforward=dff,
             num_feature_levels=2,
             num_queries=40,
             num_ctrl_points=8,

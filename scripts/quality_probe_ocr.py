@@ -207,6 +207,11 @@ def main():
     ap.add_argument("--calib_scenes", type=int, default=16,
                     help="TRAIN scenes used to calibrate the inference "
                          "threshold after stage 3 (never the eval scenes)")
+    ap.add_argument("--spotter_preset", default="v1", choices=["v1", "v2"],
+                    help="TESTR geometry preset (eval/probe_setup.py); v2 = "
+                         "the r5 capacity fix (d=192, 4+4 layers). VAE/MMDiT "
+                         "geometry is shared, so --resume can reuse v1's "
+                         "vae.pkl/stage1.pkl copied into --out_dir")
     ap.add_argument("--vote_frac", type=float, default=0.25,
                     help="TSM temporal-voting admission fraction "
                          "(tools/tune_tsm_vote.py calibrates this offline)")
@@ -267,7 +272,8 @@ def main():
     # geometry/encoder/degradation shared with scripts/serving_quality_sweep.py
     # (eval/probe_setup.py is the single source of truth so the sweep reloads
     # these pickles into bit-identical configs)
-    geom = ocr_probe_geometry(size, args.smoke)
+    geom = ocr_probe_geometry(size, args.smoke,
+                              spotter_preset=args.spotter_preset)
     vae_cfg, model_cfg, testr_cfg, latent_size, text_len = geom
     encoder = ocr_probe_encoder(geom)
     deg_sampler = ocr_probe_degradation()
